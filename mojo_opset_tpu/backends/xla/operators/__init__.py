@@ -1,0 +1,2 @@
+import mojo_opset_tpu.backends.xla.operators.attention  # noqa: F401
+import mojo_opset_tpu.backends.xla.operators.gemm  # noqa: F401

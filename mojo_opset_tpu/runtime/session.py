@@ -1,0 +1,305 @@
+"""Paged-attention runtime session.
+
+Parity: reference mojo_opset/runtime/runtime.py:17-271
+(AttentionMetadata :18, PagedAttentionRuntimeState :29,
+PagedAttentionGenerationModel :231).
+
+TPU-native design:
+  * the block allocator (free stack, block tables, sequence lengths) is
+    host-side numpy — allocation is control flow and must not trace;
+  * the per-layer KV cache arrays are device-side pytree leaves updated
+    *functionally* by jitted step functions (donate the caches and XLA
+    updates them in place — the analogue of torch's mutation);
+  * KV-mirror cross-layer sharing (reference runtime.py:63-80) maps layers
+    to shared cache *slots*: mirrored layers read and write the same
+    physical buffers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mojo_opset_tpu.runtime.config import MojoConfig
+from mojo_opset_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+@dataclass
+class AttentionMetadata:
+    """Device-side attention metadata for one step (a pytree).
+
+    ``context_kv_lens`` (lengths before this step's tokens) replaces the
+    reference's eager ``chunk_metadata`` plan — the jittable store op
+    derives per-token destinations from it (kv_cache.py).
+    """
+
+    q_lens: jax.Array
+    cu_q_lens: Optional[jax.Array]
+    total_seq_lens: jax.Array
+    context_kv_lens: jax.Array
+    block_tables: jax.Array
+    is_prefill: bool
+
+    def tree_flatten(self):
+        return (
+            (self.q_lens, self.cu_q_lens, self.total_seq_lens, self.context_kv_lens, self.block_tables),
+            self.is_prefill,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, is_prefill=aux)
+
+
+jax.tree_util.register_pytree_node(
+    AttentionMetadata,
+    AttentionMetadata.tree_flatten,
+    lambda aux, children: AttentionMetadata.tree_unflatten(aux, children),
+)
+
+
+class KVCaches:
+    """Per-layer paged K/V cache arrays with KV-mirror slot sharing.
+
+    Acts as a list-like view: ``caches.key(layer)`` / ``caches.value(layer)``
+    resolve through the slot map; functional updates go through
+    ``caches.update(layer, new_k, new_v)`` which returns a new KVCaches.
+    Registered as a pytree so it can cross jit boundaries (and be donated).
+    """
+
+    def __init__(self, keys: List[jax.Array], values: List[jax.Array], slot_of_layer: List[int]):
+        self.keys = list(keys)
+        self.values = list(values)
+        self.slot_of_layer = list(slot_of_layer)
+
+    @classmethod
+    def create(
+        cls,
+        num_layers: int,
+        cache_shape: Tuple[int, int, int, int],
+        dtype,
+        kv_mirror_layers: List[int] = (),
+        kv_mirror_imitated_layers: List[int] = (),
+    ) -> "KVCaches":
+        mirror_map = {
+            mirror - 1: imitated - 1
+            for mirror, imitated in zip(kv_mirror_layers, kv_mirror_imitated_layers)
+        }
+        slot_of_layer: List[int] = [-1] * num_layers
+        keys, values = [], []
+        for layer_idx in range(num_layers):
+            if layer_idx in mirror_map:
+                src = mirror_map[layer_idx]
+                if slot_of_layer[src] < 0:
+                    raise ValueError(
+                        f"Source layer {src + 1} for mirror layer {layer_idx + 1} must exist first."
+                    )
+                slot_of_layer[layer_idx] = slot_of_layer[src]
+                continue
+            slot_of_layer[layer_idx] = len(keys)
+            keys.append(jnp.zeros(cache_shape, dtype))
+            values.append(jnp.zeros(cache_shape, dtype))
+        return cls(keys, values, slot_of_layer)
+
+    def key(self, layer_idx: int) -> jax.Array:
+        return self.keys[self.slot_of_layer[layer_idx]]
+
+    def value(self, layer_idx: int) -> jax.Array:
+        return self.values[self.slot_of_layer[layer_idx]]
+
+    def update(self, layer_idx: int, new_key: jax.Array, new_value: jax.Array) -> "KVCaches":
+        slot = self.slot_of_layer[layer_idx]
+        keys = list(self.keys)
+        values = list(self.values)
+        keys[slot] = new_key
+        values[slot] = new_value
+        return KVCaches(keys, values, self.slot_of_layer)
+
+    @property
+    def num_layers(self) -> int:
+        return len(self.slot_of_layer)
+
+    def tree_flatten(self):
+        return (self.keys, self.values), tuple(self.slot_of_layer)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], list(aux))
+
+
+jax.tree_util.register_pytree_node(
+    KVCaches, KVCaches.tree_flatten, lambda aux, c: KVCaches.tree_unflatten(aux, c)
+)
+
+
+class PagedAttentionRuntimeState:
+    """Session: host-side block allocator + device-side cache pytree."""
+
+    def __init__(
+        self,
+        config: MojoConfig,
+        batch_size: int,
+        dtype=None,
+        block_size: int = 128,
+        max_blocks_per_seq: Optional[int] = None,
+    ):
+        mc = config.model_config
+        self.config = config
+        self.batch_size = batch_size
+        self.num_layers = mc.num_layers
+        self.dtype = dtype or mc.dtype
+        self.block_size = block_size
+        self.num_kv_heads = mc.local_num_kv_heads
+        self.head_dim = mc.head_dim
+
+        self.max_blocks_per_seq = max_blocks_per_seq or (
+            (mc.max_position_embeddings + block_size - 1) // block_size
+        )
+        total_blocks = batch_size * self.max_blocks_per_seq
+
+        # host-side allocator state
+        self.block_tables = np.full((batch_size, self.max_blocks_per_seq), -1, np.int32)
+        self.total_seq_lens = np.zeros((batch_size,), np.int32)
+        self.free_blocks = np.arange(total_blocks, dtype=np.int32)
+        self.num_free_blocks = total_blocks
+
+        cache_shape = (total_blocks, self.num_kv_heads, block_size, self.head_dim)
+        self.caches = KVCaches.create(
+            self.num_layers,
+            cache_shape,
+            self.dtype,
+            getattr(mc, "kv_mirror_layers", []),
+            getattr(mc, "kv_mirror_imitated_layers", []),
+        )
+
+    # compat: reference exposes the session itself as .kv_cache
+    @property
+    def kv_cache(self):
+        return self
+
+    @classmethod
+    def from_model(cls, model, batch_size: int, *, block_size: int = 128, dtype=None, **kw):
+        return cls(model.config, batch_size, dtype=dtype, block_size=block_size, **kw)
+
+    # -- allocator ------------------------------------------------------
+    def _allocate_blocks(self, num_blocks: int) -> np.ndarray:
+        if num_blocks > self.num_free_blocks:
+            raise ValueError("PagedAttentionRuntimeState: Out of paged KV cache memory.")
+        allocated = self.free_blocks[self.num_free_blocks - num_blocks : self.num_free_blocks]
+        self.num_free_blocks -= num_blocks
+        return allocated
+
+    def _normalize_q_lens(self, q_lens) -> np.ndarray:
+        if q_lens is None:
+            return np.ones(self.batch_size, np.int32)
+        return np.asarray(q_lens, np.int32)
+
+    def _reserve(self, q_lens: np.ndarray) -> np.ndarray:
+        previous = self.total_seq_lens.copy()
+        for batch_idx in range(self.batch_size):
+            context_len = int(previous[batch_idx])
+            append_len = int(q_lens[batch_idx])
+            old_blocks = -(-context_len // self.block_size)
+            new_blocks = -(-(context_len + append_len) // self.block_size)
+            if new_blocks > old_blocks:
+                newly = self._allocate_blocks(new_blocks - old_blocks)
+                self.block_tables[batch_idx, old_blocks:new_blocks] = newly
+        self.total_seq_lens = previous + q_lens
+        return previous
+
+    def _build_positions(self, context_kv_lens: np.ndarray, q_lens: np.ndarray) -> np.ndarray:
+        positions = []
+        for batch_idx in range(self.batch_size):
+            start = int(context_kv_lens[batch_idx])
+            query_len = int(q_lens[batch_idx])
+            if query_len <= 0:
+                continue
+            positions.append(np.arange(start, start + query_len, dtype=np.int32))
+        if not positions:
+            return np.empty((0,), np.int32)
+        return np.concatenate(positions)
+
+    def _metadata(self, cu_q_lens, context_kv_lens, q_lens) -> AttentionMetadata:
+        return AttentionMetadata(
+            q_lens=jnp.asarray(q_lens, jnp.int32),
+            cu_q_lens=None if cu_q_lens is None else jnp.asarray(cu_q_lens, jnp.int32),
+            total_seq_lens=jnp.asarray(self.total_seq_lens, jnp.int32),
+            context_kv_lens=jnp.asarray(context_kv_lens, jnp.int32),
+            block_tables=jnp.asarray(self.block_tables, jnp.int32),
+            is_prefill=cu_q_lens is not None,
+        )
+
+    # -- step input preparation ------------------------------------------
+    def prepare_prefill_inputs(self, input_ids, q_lens):
+        input_ids = np.asarray(input_ids).reshape(-1).astype(np.int32)
+        q_lens = self._normalize_q_lens(q_lens)
+        if int(q_lens.sum()) != input_ids.size:
+            raise ValueError(
+                "Prefill input_ids length must match the sum of q_lens: "
+                f"{input_ids.size} != {int(q_lens.sum())}"
+            )
+        context_kv_lens = self._reserve(q_lens)
+        positions = self._build_positions(context_kv_lens, q_lens)
+        cu_q_lens = np.concatenate([[0], np.cumsum(q_lens)]).astype(np.int32)
+        meta = self._metadata(cu_q_lens, context_kv_lens, q_lens)
+        return jnp.asarray(input_ids), jnp.asarray(positions), meta
+
+    def prepare_decode_inputs(self, input_ids):
+        input_ids = np.asarray(input_ids).reshape(-1).astype(np.int32)
+        if input_ids.size != self.batch_size:
+            raise ValueError(
+                f"Decode input_ids must provide exactly one token per sequence: "
+                f"{input_ids.size} != {self.batch_size}"
+            )
+        q_lens = np.ones(self.batch_size, np.int32)
+        positions = self.total_seq_lens.copy()
+        context_kv_lens = self._reserve(q_lens)
+        meta = self._metadata(None, context_kv_lens, q_lens)
+        return jnp.asarray(input_ids), jnp.asarray(positions), meta
+
+
+class PagedAttentionGenerationModel:
+    """Wraps a model for session-managed paged generation.
+
+    Prefill computes ``lm_head_indices = cu_q_lens[1:] - 1`` so only the
+    last token of each sequence hits the LM head (reference
+    runtime.py:263-266).  Model calls are functional over the cache pytree:
+    ``model(input_ids, positions, metadata, caches, lm_head_indices)``
+    returns ``(logits, new_caches)`` and the session stores the new caches.
+    """
+
+    def __init__(self, model, *, block_size: int = 128, session_cls=PagedAttentionRuntimeState):
+        self.model = model
+        self.block_size = block_size
+        self.session_cls = session_cls
+
+    def _new_session(self, input_ids, context_input_len):
+        batch_size = (
+            int(np.asarray(context_input_len).size)
+            if context_input_len is not None
+            else int(np.asarray(input_ids).size)
+        )
+        return self.session_cls.from_model(self.model, batch_size, block_size=self.block_size)
+
+    def __call__(self, input_ids, context_input_len=None, session=None, **kwargs):
+        if session is None:
+            session = self._new_session(input_ids, context_input_len)
+
+        if context_input_len is not None:
+            ids, positions, meta = session.prepare_prefill_inputs(input_ids, context_input_len)
+            lm_head_indices = meta.cu_q_lens[1:] - 1
+        else:
+            ids, positions, meta = session.prepare_decode_inputs(input_ids)
+            lm_head_indices = None
+
+        logits, new_caches = self.model(
+            ids, positions, meta, session.caches, lm_head_indices=lm_head_indices
+        )
+        session.caches = new_caches
+        return logits, session

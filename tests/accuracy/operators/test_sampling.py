@@ -1,0 +1,105 @@
+"""Accuracy tests for sampling ops (explicit PRNG keys)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import mojo_opset_tpu as m
+
+from ..utils import randn
+
+
+def test_topk_sampling_stays_in_topk():
+    op = m.MojoTopKSampling.get_backend_impl("ref")(top_k=5)
+    logits = randn(0, (8, 100), scale=3.0)
+    probs, tokens = op(logits, key=jax.random.PRNGKey(1))
+    assert probs.shape == (8, 1) and tokens.shape == (8, 1)
+    top5 = np.argsort(-np.asarray(logits), axis=-1)[:, :5]
+    for i in range(8):
+        assert int(tokens[i, 0]) in top5[i]
+    assert np.all(np.asarray(probs) > 0)
+
+
+def test_topk_deterministic_given_key():
+    op = m.MojoTopKSampling.get_backend_impl("ref")(top_k=50)
+    logits = randn(0, (4, 64))
+    k = jax.random.PRNGKey(3)
+    _, t1 = op(logits, key=k)
+    _, t2 = op(logits, key=k)
+    assert np.array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_topp_filter_mass():
+    op = m.MojoTopPFilter.get_backend_impl("ref")()
+    logits = randn(0, (4, 50), scale=2.0)
+    probs, idx = op(logits, 0.8, 1, 50)
+    p = np.asarray(probs, np.float64)
+    assert np.allclose(p.sum(-1), 1.0, atol=1e-5)
+    # kept set is a prefix of the sorted top-k: mass of kept prefix >= 0.8
+    # (first token crossing the threshold is retained)
+    full = jax.nn.softmax(jnp.asarray(logits).astype(jnp.float32), axis=-1)
+    full = np.asarray(full)
+    for i in range(4):
+        kept = p[i] > 0
+        kept_sorted_mass = full[i][np.asarray(idx)[i][kept]].sum()
+        assert kept_sorted_mass >= 0.79
+
+
+def test_topp_sampling_runs():
+    op = m.MojoTopPSampling.get_backend_impl("ref")(top_p=0.9)
+    logits = randn(0, (4, 32))
+    probs, tokens = op(logits, key=jax.random.PRNGKey(0))
+    assert tokens.shape == (4, 1)
+    assert np.all(np.asarray(tokens) >= 0) and np.all(np.asarray(tokens) < 32)
+
+
+def test_reject_sampling_accept_all_and_none():
+    op = m.MojoRejectSampling.get_backend_impl("ref")()
+    B, S, V = 2, 3, 10
+    draft_tokens = jnp.array([[1, 2, 3], [4, 5, 6]], jnp.int32)
+    draft_probs = jnp.full((B, S), 0.5)
+    # target prob 1.0 on drafted tokens -> ratio 2 >= u always -> accept all
+    tp = np.zeros((B, S + 1, V), np.float32)
+    for b in range(B):
+        for s in range(S):
+            tp[b, s, int(draft_tokens[b, s])] = 1.0
+    nt, acc = op(jnp.asarray(tp), draft_tokens, draft_probs, key=jax.random.PRNGKey(0))
+    assert nt.shape == (B, S + 1)
+    np.testing.assert_array_equal(np.asarray(acc), [S, S])
+    # target prob 0 -> reject at step 0
+    nt, acc = op(jnp.zeros((B, S + 1, V)), draft_tokens, draft_probs, key=jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(acc), [0, 0])
+
+
+def test_join_prob_reject_sampling():
+    op = m.MojoJoinProbRejectSampling.get_backend_impl("ref")()
+    B, S, V = 2, 3, 10
+    draft_tokens = jnp.array([[1, 2, 3], [4, 5, 6]], jnp.int32)
+    draft_probs = jnp.full((B, S), 0.5)
+    tp = np.zeros((B, S + 1, V), np.float32)
+    for b in range(B):
+        for s in range(S):
+            tp[b, s, int(draft_tokens[b, s])] = 1.0
+    nt, acc = op(jnp.asarray(tp), draft_tokens, draft_probs, key=jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(acc), [S, S])
+
+
+def test_apply_penalties_temperature():
+    op = m.MojoApplyPenaltiesTempurate.get_backend_impl("ref")()
+    V = 16
+    logits = randn(0, (2, V), scale=2.0)
+    freq = np.zeros(V, np.float32)
+    freq[3] = 2.0
+    out = op(
+        logits,
+        [jnp.asarray(freq), None],
+        presence_penalties=[0.5, 0.0],
+        frequency_penalties=[0.25, 0.0],
+        repetition_penalties=[1.0, 1.0],
+        temps=[None, 2.0],
+    )
+    want0 = np.asarray(logits[0], np.float32).copy()
+    want0 -= 0.25 * freq
+    want0 -= 0.5 * (freq > 0)
+    np.testing.assert_allclose(np.asarray(out[0]), want0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(logits[1]) / 2.0, atol=1e-5)

@@ -1,0 +1,62 @@
+"""Test configuration.
+
+Multi-device-without-hardware strategy (mirrors the reference's
+gloo-on-CPU trick, reference tests/dist_common.py:19-81): tests run on the
+JAX CPU backend with 8 virtual devices via
+``--xla_force_host_platform_device_count``, so shard_map/Mesh tests
+exercise real collectives without a TPU pod.
+"""
+
+import os
+
+# Must be set before jax initializes.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+# XLA:CPU's default matmul precision truncates fp32 inputs to bf16; tests
+# compare against float64 numpy brute force, so pin full precision.
+jax.config.update("jax_default_matmul_precision", "highest")
+
+from mojo_opset_tpu.core.registry import BackendNotAvailable  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _reset_backend_env(monkeypatch):
+    """Each test starts from default (priority) dispatch unless it sets
+    MOJO_BACKEND itself."""
+    monkeypatch.delenv("MOJO_BACKEND", raising=False)
+    yield
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+def make_op(core_cls, tier, *args, **kwargs):
+    """Instantiate a specific tier of a core op, skipping the test if that
+    tier is not registered (the reference's BackendNotImplementedForTest
+    auto-skip pattern, tests/accuracy/conftest.py:104-111)."""
+    try:
+        impl = core_cls.get_backend_impl(tier, strict=True)
+    except BackendNotAvailable:
+        pytest.skip(f"{core_cls.__name__} has no '{tier}' backend")
+    return impl(*args, **kwargs)
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "tpu_only: test requires real TPU hardware")
+
+
+def pytest_collection_modifyitems(config, items):
+    if jax.default_backend() != "tpu":
+        skip = pytest.mark.skip(reason="requires TPU hardware")
+        for item in items:
+            if "tpu_only" in item.keywords:
+                item.add_marker(skip)
