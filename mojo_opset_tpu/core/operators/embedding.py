@@ -45,7 +45,9 @@ class MojoEmbedding(MojoOperator):
         self.norm_type = norm_type
         if key is None:
             key = jax.random.PRNGKey(0)
-        weight = jax.random.normal(key, (num_embeddings, embedding_dim), self.param_dtype or jnp.float32)
+        from mojo_opset_tpu.utils import init as winit
+
+        weight = winit.normal(key, (num_embeddings, embedding_dim), self.param_dtype or jnp.float32)
         if padding_idx is not None:
             weight = weight.at[padding_idx].set(0.0)
         self.weight = weight
@@ -100,9 +102,11 @@ class MojoParallelEmbedding(MojoOperator):
         self.local_num_embeddings = math.ceil(num_embeddings / num_shards)
         if key is None:
             key = jax.random.PRNGKey(0)
+        from mojo_opset_tpu.utils import init as winit
+
         # The full logical table; under shard_map pass per-shard slices of
         # shape (local_num_embeddings, embedding_dim) via .replace(weight=...).
-        weight = jax.random.normal(
+        weight = winit.normal(
             key,
             (self.local_num_embeddings if num_shards > 1 else num_embeddings, embedding_dim),
             self.param_dtype or jnp.float32,

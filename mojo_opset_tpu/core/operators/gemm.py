@@ -50,10 +50,12 @@ class MojoGemm(MojoOperator):
         dtype = self.param_dtype or jnp.float32
         if key is None:
             key = jax.random.PRNGKey(0)
+        from mojo_opset_tpu.utils import init as winit
+
         wkey, bkey = jax.random.split(key)
         bound = 1.0 / (in_features**0.5)
-        self.weight = jax.random.uniform(wkey, (out_features, in_features), dtype, -bound, bound)
-        self.bias = jax.random.uniform(bkey, (out_features,), dtype, -bound, bound) if bias else None
+        self.weight = winit.uniform(wkey, (out_features, in_features), dtype, -bound, bound)
+        self.bias = winit.uniform(bkey, (out_features,), dtype, -bound, bound) if bias else None
 
     def forward(self, input: jax.Array) -> jax.Array:
         out = jnp.matmul(input, self.weight.T, preferred_element_type=jnp.float32)

@@ -1,0 +1,228 @@
+"""Qwen3 dense reference model (TPU-native, functional).
+
+Capability parity with reference mojo_opset/modeling/qwen3/mojo_qwen3_dense.py
+(Qwen3ForCausalLM built entirely from Mojo ops: RMSNorm, ApplyRoPE, Silu,
+PagedPrefill/DecodeGQA, StorePagedKVCache; :216-401) — re-designed for JAX:
+  * packed varlen token layout (T, hidden) for prefill, (B, hidden) decode;
+  * the KV caches thread functionally through the forward
+    (``(logits, new_caches) = model(ids, positions, metadata, caches)``),
+    so the whole step jits with donated caches;
+  * backend tier selection is invisible to the model: it imports only core
+    op names (reference modeling convention, SURVEY §1 L6->L3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from mojo_opset_tpu.core.module import Module
+from mojo_opset_tpu.core.operators import (
+    MojoApplyRoPE,
+    MojoEmbedding,
+    MojoGemm,
+    MojoPagedDecodeGQA,
+    MojoPagedPrefillGQA,
+    MojoRMSNorm,
+    MojoRotaryEmbedding,
+    MojoSilu,
+    MojoStorePagedKVCache,
+)
+from mojo_opset_tpu.runtime.config import MojoConfig, MojoModelConfig
+from mojo_opset_tpu.runtime.session import AttentionMetadata, KVCaches
+
+
+@dataclass
+class Qwen3Config:
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 8
+    num_hidden_layers: int = 32
+    head_dim: int = 128
+    vocab_size: int = 151936
+    max_position_embeddings: int = 8192
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    attention_bias: bool = False
+    tie_word_embeddings: bool = False
+    dtype: object = jnp.bfloat16
+
+    def to_mojo(self) -> MojoConfig:
+        return MojoConfig(
+            model_config=MojoModelConfig(
+                model_name="qwen3",
+                hidden_size=self.hidden_size,
+                embed_dim=self.hidden_size,
+                head_dim=self.head_dim,
+                num_heads=self.num_attention_heads,
+                num_kv_heads=self.num_key_value_heads,
+                num_layers=self.num_hidden_layers,
+                vocab_size=self.vocab_size,
+                max_position_embeddings=self.max_position_embeddings,
+                dtype=self.dtype,
+                rope_theta=self.rope_theta,
+                rms_norm_eps=self.rms_norm_eps,
+                intermediate_size=self.intermediate_size,
+                tie_word_embeddings=self.tie_word_embeddings,
+            )
+        )
+
+
+class Qwen3Attention(Module):
+    def __init__(self, config: Qwen3Config, key: jax.Array):
+        c = config
+        ks = jax.random.split(key, 4)
+        H, Hkv, D = c.num_attention_heads, c.num_key_value_heads, c.head_dim
+        self.num_heads = H
+        self.num_kv_heads = Hkv
+        self.head_dim = D
+        bias = c.attention_bias
+        self.q_proj = MojoGemm(c.hidden_size, H * D, bias=bias, key=ks[0], dtype=c.dtype)
+        self.k_proj = MojoGemm(c.hidden_size, Hkv * D, bias=bias, key=ks[1], dtype=c.dtype)
+        self.v_proj = MojoGemm(c.hidden_size, Hkv * D, bias=bias, key=ks[2], dtype=c.dtype)
+        self.o_proj = MojoGemm(H * D, c.hidden_size, bias=False, key=ks[3], dtype=c.dtype)
+        # Qwen3 per-head q/k RMSNorm over head_dim
+        self.q_norm = MojoRMSNorm(D, eps=c.rms_norm_eps)
+        self.k_norm = MojoRMSNorm(D, eps=c.rms_norm_eps)
+        self.apply_rope = MojoApplyRoPE()
+        self.store_kv = MojoStorePagedKVCache()
+        self.attn_prefill = MojoPagedPrefillGQA(gqa_layout="AABB")
+        self.attn_decode = MojoPagedDecodeGQA(gqa_layout="AABB")
+
+    def __call__(
+        self,
+        hidden: jax.Array,  # (T, hidden)
+        cos: jax.Array,
+        sin: jax.Array,
+        meta: AttentionMetadata,
+        caches: KVCaches,
+        layer_idx: int,
+    ):
+        T = hidden.shape[0]
+        q = self.q_proj(hidden).reshape(T, self.num_heads, self.head_dim)
+        k = self.k_proj(hidden).reshape(T, self.num_kv_heads, self.head_dim)
+        v = self.v_proj(hidden).reshape(T, self.num_kv_heads, self.head_dim)
+        q = self.q_norm(q)
+        k = self.k_norm(k)
+        q, k = self.apply_rope(q, k, cos, sin, head_first=False)
+
+        key_cache, value_cache = caches.key(layer_idx), caches.value(layer_idx)
+        key_cache, value_cache = self.store_kv(
+            k, v, key_cache, value_cache,
+            meta.block_tables,
+            meta.cu_q_lens if meta.is_prefill else None,
+            meta.context_kv_lens,
+        )
+        caches = caches.update(layer_idx, key_cache, value_cache)
+
+        if meta.is_prefill:
+            cu_total = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), jnp.cumsum(meta.total_seq_lens)]
+            ).astype(jnp.int32)
+            attn = self.attn_prefill(
+                q, key_cache, value_cache, meta.cu_q_lens, meta.block_tables,
+                None, cu_total,
+            )
+        else:
+            attn = self.attn_decode(
+                q, key_cache, value_cache, meta.total_seq_lens, meta.block_tables
+            )
+        out = self.o_proj(attn.reshape(T, self.num_heads * self.head_dim))
+        return out, caches
+
+
+class Qwen3MLP(Module):
+    def __init__(self, config: Qwen3Config, key: jax.Array):
+        c = config
+        ks = jax.random.split(key, 3)
+        self.gate_proj = MojoGemm(c.hidden_size, c.intermediate_size, bias=False, key=ks[0], dtype=c.dtype)
+        self.up_proj = MojoGemm(c.hidden_size, c.intermediate_size, bias=False, key=ks[1], dtype=c.dtype)
+        self.down_proj = MojoGemm(c.intermediate_size, c.hidden_size, bias=False, key=ks[2], dtype=c.dtype)
+        self.act = MojoSilu()
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return self.down_proj(self.act(self.gate_proj(x)) * self.up_proj(x))
+
+
+class Qwen3DecoderLayer(Module):
+    def __init__(self, config: Qwen3Config, key: jax.Array):
+        k1, k2 = jax.random.split(key)
+        self.input_layernorm = MojoRMSNorm(config.hidden_size, eps=config.rms_norm_eps)
+        self.self_attn = Qwen3Attention(config, k1)
+        self.post_attention_layernorm = MojoRMSNorm(config.hidden_size, eps=config.rms_norm_eps)
+        self.mlp = Qwen3MLP(config, k2)
+
+    def __call__(self, hidden, cos, sin, meta, caches, layer_idx):
+        residual = hidden
+        hidden = self.input_layernorm(hidden)
+        attn_out, caches = self.self_attn(hidden, cos, sin, meta, caches, layer_idx)
+        hidden = residual + attn_out
+        residual = hidden
+        hidden = self.post_attention_layernorm(hidden)
+        hidden = residual + self.mlp(hidden)
+        return hidden, caches
+
+
+class Qwen3Model(Module):
+    def __init__(self, config: Qwen3Config, key: jax.Array):
+        keys = jax.random.split(key, config.num_hidden_layers + 1)
+        self.embed_tokens = MojoEmbedding(
+            config.vocab_size, config.hidden_size, key=keys[0], dtype=config.dtype
+        )
+        self.layers = [Qwen3DecoderLayer(config, keys[i + 1]) for i in range(config.num_hidden_layers)]
+        self.norm = MojoRMSNorm(config.hidden_size, eps=config.rms_norm_eps)
+        self.rotary_emb = MojoRotaryEmbedding(config.rope_theta, config.head_dim)
+
+    def __call__(self, input_ids, positions, meta, caches):
+        hidden = self.embed_tokens(input_ids)
+        cos, sin = self.rotary_emb(hidden, position_ids=positions.astype(jnp.int32))
+        cos = cos.astype(hidden.dtype)
+        sin = sin.astype(hidden.dtype)
+        for layer_idx, layer in enumerate(self.layers):
+            hidden, caches = layer(hidden, cos, sin, meta, caches, layer_idx)
+        return self.norm(hidden), caches
+
+
+class Qwen3ForCausalLM(Module):
+    """Functional paged-generation Qwen3.
+
+    ``forward(input_ids, positions, metadata, caches, lm_head_indices)``
+    returns ``(logits, new_caches)``; with ``lm_head_indices`` only the
+    last token of each prefill sequence hits the LM head (reference
+    runtime.py:263-266 trick).
+    """
+
+    def __init__(self, config: Qwen3Config, key: Optional[jax.Array] = None):
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        k1, k2 = jax.random.split(key)
+        self._config = config
+        self.model = Qwen3Model(config, k1)
+        if config.tie_word_embeddings:
+            self.lm_head = None
+        else:
+            self.lm_head = MojoGemm(
+                config.hidden_size, config.vocab_size, bias=False, key=k2, dtype=config.dtype
+            )
+
+    @property
+    def config(self) -> MojoConfig:
+        return self._config.to_mojo()
+
+    @property
+    def qwen3_config(self) -> Qwen3Config:
+        return self._config
+
+    def __call__(self, input_ids, positions, meta, caches, lm_head_indices=None):
+        hidden, caches = self.model(input_ids, positions, meta, caches)
+        if lm_head_indices is not None:
+            hidden = hidden[lm_head_indices]
+        if self.lm_head is None:
+            logits = hidden @ self.model.embed_tokens.weight.T
+        else:
+            logits = self.lm_head(hidden)
+        return logits.astype(jnp.float32), caches

@@ -1,0 +1,25 @@
+from mojo_opset_tpu.runtime.compile_cache import CompiledStepPool, round_up_bucket
+from mojo_opset_tpu.runtime.config import (
+    AFDRole,
+    MojoConfig,
+    MojoModelConfig,
+    MojoParallelConfig,
+    MojoRunTimeConfig,
+)
+from mojo_opset_tpu.runtime.generation import (
+    DumpHook,
+    GeneratorHook,
+    GreedySampler,
+    MojoGenerator,
+    MojoSampler,
+    MojoSession,
+    PerfHook,
+    PerfMojoGenerator,
+    TopKSampler,
+)
+from mojo_opset_tpu.runtime.session import (
+    AttentionMetadata,
+    KVCaches,
+    PagedAttentionGenerationModel,
+    PagedAttentionRuntimeState,
+)

@@ -274,10 +274,31 @@ class PagedAttentionGenerationModel:
     returns ``(logits, new_caches)`` and the session stores the new caches.
     """
 
-    def __init__(self, model, *, block_size: int = 128, session_cls=PagedAttentionRuntimeState):
+    def __init__(
+        self,
+        model,
+        *,
+        block_size: int = 128,
+        session_cls=PagedAttentionRuntimeState,
+        jit: bool = True,
+    ):
         self.model = model
         self.block_size = block_size
         self.session_cls = session_cls
+        self._jit = jit
+        if jit:
+            # The compiled-step pool is the device-graph capture/replay
+            # analogue (reference compile/device_graph.py:48-105): one XLA
+            # executable per step signature, KV caches donated so the
+            # update is in-place.
+            from mojo_opset_tpu.runtime.compile_cache import CompiledStepPool
+
+            def _step(model, ids, positions, meta, caches, lm_head_indices):
+                return model(ids, positions, meta, caches, lm_head_indices=lm_head_indices)
+
+            self._pool = CompiledStepPool(_step, donate_argnums=(4,))
+        else:
+            self._pool = None
 
     def _new_session(self, input_ids, context_input_len):
         batch_size = (
@@ -298,8 +319,12 @@ class PagedAttentionGenerationModel:
             ids, positions, meta = session.prepare_decode_inputs(input_ids)
             lm_head_indices = None
 
-        logits, new_caches = self.model(
-            ids, positions, meta, session.caches, lm_head_indices=lm_head_indices
-        )
+        if self._pool is not None:
+            runner = self._pool.get_runner(self.model, ids, positions, meta, session.caches, lm_head_indices)
+            logits, new_caches = runner(self.model, ids, positions, meta, session.caches, lm_head_indices)
+        else:
+            logits, new_caches = self.model(
+                ids, positions, meta, session.caches, lm_head_indices=lm_head_indices
+            )
         session.caches = new_caches
         return logits, session

@@ -9,8 +9,8 @@ exercise real collectives without a TPU pod.
 
 import os
 
-# Must be set before jax initializes.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# 8 virtual CPU devices for Mesh/shard_map tests without TPU hardware.
+# Must be in the env before backends initialize.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
@@ -18,6 +18,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# The axon sitecustomize force-selects the tunneled TPU backend
+# (jax_platforms="axon,cpu") in every interpreter; tests must run on the
+# local CPU backend, so override AFTER import, before backends init.
+jax.config.update("jax_platforms", "cpu")
 
 # XLA:CPU's default matmul precision truncates fp32 inputs to bf16; tests
 # compare against float64 numpy brute force, so pin full precision.
