@@ -1,0 +1,240 @@
+"""Pallas TPU kernel: paged decode GQA attention.
+
+Replaces the reference TTX Triton decode kernels
+(backends/ttx/kernels/npu/a2/flash_attention.py, mlu fa_paged_decode) with
+a Mosaic kernel.  Decode is HBM-bandwidth bound, so the kernel hand-rolls
+double-buffered multi-page DMA: per grid step (one batch row x one
+"super-block" of ``pages_per_fetch`` pages) it issues whole-page
+(Hkv, block_size, D) async copies from the HBM-resident cache into a VMEM
+slab laid out (slot, Hkv, P*bs, D), overlapping the next super-block's
+fetch with the current one's MXU work.  Block tables and sequence lengths
+ride scalar prefetch (SMEM); an online-softmax carry lives in VMEM scratch
+across the super-block grid dimension.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30
+
+
+def _decode_kernel(
+    # scalar prefetch
+    seq_lens_ref,  # (B,) int32 SMEM
+    block_tables_ref,  # (B, S*P) int32 SMEM
+    # inputs
+    q_ref,  # (Hkv, group_pad, D) VMEM
+    k_hbm,  # (N, Hkv, bs, D) ANY/HBM
+    v_hbm,  # (N, Hkv, bs, D) ANY/HBM
+    # outputs
+    o_ref,  # (Hkv, group_pad, D) VMEM
+    # scratch
+    kbuf,  # (2, Hkv, P*bs, D) VMEM
+    vbuf,  # (2, Hkv, P*bs, D) VMEM
+    sems,  # DMA sems (2, 2, P)
+    m_ref,  # (Hkv*group_pad, 128) f32
+    l_ref,  # (Hkv*group_pad, 128) f32
+    acc_ref,  # (Hkv, group_pad, D) f32
+    *,
+    block_size: int,
+    pages_per_fetch: int,
+    scale: float,
+    num_kv_heads: int,
+    group_pad: int,
+):
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    num_supers = pl.num_programs(1)
+    P = pages_per_fetch
+    bs = block_size
+    seq_len = seq_lens_ref[b]
+
+    def start_fetch(super_idx, slot):
+        for p in range(P):
+            page_pos = (super_idx * P + p) * bs
+
+            @pl.when(page_pos < seq_len)
+            def _():
+                blk = block_tables_ref[b, super_idx * P + p]
+                blk = jnp.where(blk < 0, 0, blk)
+                pltpu.make_async_copy(
+                    k_hbm.at[blk], kbuf.at[slot, :, pl.ds(p * bs, bs), :], sems.at[slot, 0, p]
+                ).start()
+                pltpu.make_async_copy(
+                    v_hbm.at[blk], vbuf.at[slot, :, pl.ds(p * bs, bs), :], sems.at[slot, 1, p]
+                ).start()
+
+    def wait_fetch(super_idx, slot):
+        for p in range(P):
+            page_pos = (super_idx * P + p) * bs
+
+            @pl.when(page_pos < seq_len)
+            def _():
+                pltpu.make_async_copy(
+                    k_hbm.at[0], kbuf.at[slot, :, pl.ds(p * bs, bs), :], sems.at[slot, 0, p]
+                ).wait()
+                pltpu.make_async_copy(
+                    v_hbm.at[0], vbuf.at[slot, :, pl.ds(p * bs, bs), :], sems.at[slot, 1, p]
+                ).wait()
+
+    @pl.when(s == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, _NEG)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        start_fetch(0, 0)
+
+    slot = jax.lax.rem(s, 2)
+    super_start = s * P * bs
+
+    # overlap: kick off the next super-block before consuming this one
+    @pl.when(s + 1 < num_supers)
+    def _prefetch():
+        start_fetch(s + 1, jax.lax.rem(s + 1, 2))
+
+    @pl.when(super_start < seq_len)
+    def _compute():
+        wait_fetch(s, slot)
+        kv_pos = super_start + jax.lax.broadcasted_iota(
+            jnp.int32, (group_pad, P * bs), 1
+        )
+        valid = kv_pos < seq_len
+        # rows of K/V beyond seq_len were never DMA'd (uninitialized VMEM,
+        # possibly NaN); zero them so 0-weighted rows can't poison the dot.
+        col_valid = (
+            super_start + jax.lax.broadcasted_iota(jnp.int32, (P * bs, 1), 0)
+        ) < seq_len
+        for h in range(num_kv_heads):
+            q = q_ref[h].astype(jnp.float32) * scale  # (G, D)
+            k = kbuf[slot, h].astype(jnp.float32)  # (P*bs, D)
+            sc = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )  # (G, P*bs)
+            sc = jnp.where(valid, sc, _NEG)
+
+            rows = slice(h * group_pad, (h + 1) * group_pad)
+            m_prev = m_ref[rows, 0:1]
+            m_new = jnp.maximum(m_prev, jnp.max(sc, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p_ = jnp.exp(sc - m_new)
+            p_ = jnp.where(valid, p_, 0.0)
+            l_new = l_ref[rows, 0:1] * alpha + jnp.sum(p_, axis=-1, keepdims=True)
+            v = jnp.where(col_valid, vbuf[slot, h].astype(jnp.float32), 0.0)
+            pv = jax.lax.dot_general(
+                p_, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            acc_ref[h] = acc_ref[h] * alpha + pv
+            m_ref[rows, :] = jnp.broadcast_to(m_new, (group_pad, m_ref.shape[1]))
+            l_ref[rows, :] = jnp.broadcast_to(l_new, (group_pad, l_ref.shape[1]))
+
+    @pl.when(s == num_supers - 1)
+    def _finish():
+        for h in range(num_kv_heads):
+            rows = slice(h * group_pad, (h + 1) * group_pad)
+            l = l_ref[rows, 0:1]
+            out = acc_ref[h] / jnp.maximum(l, 1e-38)
+            out = jnp.where(l > 0, out, 0.0)
+            o_ref[h] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("softmax_scale", "gqa_layout", "pages_per_fetch", "interpret"),
+)
+def paged_decode_gqa(
+    query: jax.Array,  # (B, Hq, D)
+    key_cache: jax.Array,  # (N, Hkv, bs, D)
+    value_cache: jax.Array,
+    total_seq_lens: jax.Array,  # (B,) int32
+    block_tables: jax.Array,  # (B, NB) int32
+    softmax_scale: float | None = None,
+    gqa_layout: str = "AABB",
+    pages_per_fetch: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    B, Hq, D = query.shape
+    N, Hkv, bs, _ = key_cache.shape
+    NB = block_tables.shape[1]
+    group = Hq // Hkv
+    if softmax_scale is None:
+        softmax_scale = 1.0 / math.sqrt(D)
+
+    P = max(1, min(pages_per_fetch, NB))
+    num_supers = -(-NB // P)
+    if num_supers * P != NB:  # pad block tables to a super multiple
+        block_tables = jnp.pad(
+            block_tables, ((0, 0), (0, num_supers * P - NB)), constant_values=-1
+        )
+
+    # (B, Hkv, group, D): AABB groups are contiguous head runs; ABAB strided.
+    if gqa_layout == "AABB":
+        q = query.reshape(B, Hkv, group, D)
+    else:
+        q = query.reshape(B, group, Hkv, D).transpose(0, 2, 1, 3)
+
+    group_pad = max(8, group)
+    if group_pad != group:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, group_pad - group), (0, 0)))
+
+    def q_index(b, s, seq_lens, block_tables):
+        return (b, 0, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, num_supers),
+        in_specs=[
+            pl.BlockSpec((None, Hkv, group_pad, D), q_index),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((None, Hkv, group_pad, D), q_index),
+        scratch_shapes=[
+            pltpu.VMEM((2, Hkv, P * bs, D), key_cache.dtype),
+            pltpu.VMEM((2, Hkv, P * bs, D), value_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2, P)),
+            pltpu.VMEM((Hkv * group_pad, 128), jnp.float32),
+            pltpu.VMEM((Hkv * group_pad, 128), jnp.float32),
+            pltpu.VMEM((Hkv, group_pad, D), jnp.float32),
+        ],
+    )
+
+    kernel = pl.pallas_call(
+        functools.partial(
+            _decode_kernel,
+            block_size=bs,
+            pages_per_fetch=P,
+            scale=softmax_scale,
+            num_kv_heads=Hkv,
+            group_pad=group_pad,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, group_pad, D), query.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * Hq * NB * bs * D,
+            bytes_accessed=2 * B * NB * Hkv * bs * D * key_cache.dtype.itemsize,
+            transcendentals=B * Hq * NB * bs,
+        ),
+    )
+
+    out = kernel(
+        total_seq_lens.astype(jnp.int32),
+        block_tables.astype(jnp.int32),
+        q,
+        key_cache,
+        value_cache,
+    )
+    out = out[:, :, :group, :]
+    if gqa_layout == "AABB":
+        return out.reshape(B, Hq, D)
+    return out.transpose(0, 2, 1, 3).reshape(B, Hq, D)

@@ -1,0 +1,2 @@
+import mojo_opset_tpu.backends.pallas.operators.attention  # noqa: F401
+import mojo_opset_tpu.backends.pallas.operators.normalization  # noqa: F401

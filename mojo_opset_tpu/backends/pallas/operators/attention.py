@@ -1,0 +1,41 @@
+"""Pallas-tier attention ops.
+
+Analogue of the reference TTX wrapper ops
+(backends/ttx/operators/attention.py, e.g. TTXPagedDecodeGQA :143).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+from mojo_opset_tpu.backends.pallas.kernels.paged_decode import paged_decode_gqa
+from mojo_opset_tpu.core.operators.attention import MojoPagedDecodeGQA
+from mojo_opset_tpu.utils.platform import pallas_interpret_mode
+
+
+class PallasPagedDecodeGQA(MojoPagedDecodeGQA):
+    def forward(
+        self,
+        query: jax.Array,
+        key_cache: jax.Array,
+        value_cache: jax.Array,
+        total_seq_lens: jax.Array,
+        block_tables: jax.Array,
+        softmax_scale: Optional[float] = None,
+        mask: Optional[jax.Array] = None,
+        *,
+        max_total_seq_len: Optional[int] = None,
+    ) -> jax.Array:
+        if mask is not None and not self.is_causal:
+            # masked decode stays on the golden path
+            return MojoPagedDecodeGQA.forward(
+                self, query, key_cache, value_cache, total_seq_lens, block_tables,
+                softmax_scale, mask, max_total_seq_len=max_total_seq_len,
+            )
+        return paged_decode_gqa(
+            query, key_cache, value_cache, total_seq_lens, block_tables,
+            softmax_scale=softmax_scale, gqa_layout=self.gqa_layout,
+            interpret=pallas_interpret_mode(),
+        )

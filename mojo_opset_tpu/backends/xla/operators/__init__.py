@@ -1,2 +1,3 @@
 import mojo_opset_tpu.backends.xla.operators.attention  # noqa: F401
 import mojo_opset_tpu.backends.xla.operators.gemm  # noqa: F401
+import mojo_opset_tpu.backends.xla.operators.moe  # noqa: F401

@@ -17,6 +17,17 @@ from mojo_opset_tpu.core.operators.kv_cache import (
     build_paged_kv_token_indices,
 )
 from mojo_opset_tpu.core.operators.mlp import MojoSwiGLUMLP
+from mojo_opset_tpu.core.operators.moe import (
+    MojoExperts,
+    MojoMoE,
+    MojoMoECombine,
+    MojoMoEDispatch,
+    MojoMoEGating,
+    MojoQuantExperts,
+    MojoQuantMoE,
+    count_expert_tokens,
+    unpack_int4,
+)
 from mojo_opset_tpu.core.operators.normalization import (
     MojoGroupRMSNorm,
     MojoLayerNorm,

@@ -1,0 +1,66 @@
+"""Pallas-tier parity tests (interpret mode on CPU).
+
+Mirrors the reference's per-backend accuracy sweeps
+(MOJO_BACKEND=ttx pytest tests/accuracy, ascend_accuracy_ci.yml:60-120):
+every pallas op must match the golden within bf16-ish tolerance.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mojo_opset_tpu as m
+
+from ..utils import make_paged_case, randn
+
+pytestmark = pytest.mark.usefixtures("_force_interpret")
+
+
+@pytest.fixture()
+def _force_interpret(monkeypatch):
+    monkeypatch.setenv("MOJO_PALLAS_INTERPRET", "1")
+
+
+def test_pallas_rmsnorm_matches_ref():
+    op_p = m.MojoRMSNorm.get_backend_impl("pallas", strict=True)(64, eps=1e-6)
+    op_r = m.MojoRMSNorm.get_backend_impl("ref")(64, eps=1e-6)
+    w = randn(1, (64,)) + 1.0
+    op_p = op_p.replace(weight=w)
+    op_r = op_r.replace(weight=w)
+    x = randn(0, (16, 64), jnp.bfloat16)
+    op_p.forward_diff_with(op_r, x, atol=1e-2, rtol=1e-2)
+
+
+def test_pallas_residual_add_rmsnorm_matches_ref():
+    for pos in ("pre", "post"):
+        op_p = m.MojoResidualAddRMSNorm.get_backend_impl("pallas", strict=True)(64, 1e-6, pos)
+        op_r = m.MojoResidualAddRMSNorm.get_backend_impl("ref")(64, 1e-6, pos)
+        w = randn(1, (64,)) + 1.0
+        op_p = op_p.replace(weight=w)
+        op_r = op_r.replace(weight=w)
+        h, r = randn(0, (16, 64)), randn(2, (16, 64))
+        op_p.forward_diff_with(op_r, h, r, atol=1e-4, rtol=1e-4)
+
+
+def test_pallas_rmsnorm_quant_matches_ref():
+    op_p = m.MojoRMSNormQuant.get_backend_impl("pallas", strict=True)(64, 1e-6)
+    op_r = m.MojoRMSNormQuant.get_backend_impl("ref")(64, 1e-6)
+    x = randn(0, (8, 64), scale=2.0)
+    qp, sp = op_p(x)
+    qr, sr = op_r(x)
+    np.testing.assert_allclose(np.asarray(sp), np.asarray(sr), rtol=1e-5)
+    # int8 rounding may differ by 1 ulp at ties
+    assert np.abs(np.asarray(qp, np.int32) - np.asarray(qr, np.int32)).max() <= 1
+
+
+@pytest.mark.parametrize("layout", ["AABB", "ABAB"])
+def test_pallas_paged_decode_matches_ref(layout):
+    case = make_paged_case(seq_lens=(9, 2, 16), head_dim=128)
+    q = randn(5, (3, case["hq"], 128))
+    args = (q, case["key_cache"], case["value_cache"], case["seq_lens"], case["block_tables"])
+    op_p = m.MojoPagedDecodeGQA.get_backend_impl("pallas", strict=True)(gqa_layout=layout)
+    op_r = m.MojoPagedDecodeGQA.get_backend_impl("ref")(gqa_layout=layout)
+    op_p.forward_diff_with(op_r, *args, atol=1e-4, rtol=1e-4)
