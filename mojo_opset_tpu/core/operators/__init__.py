@@ -9,6 +9,14 @@ from mojo_opset_tpu.core.operators.attention import (
     MojoSdpa,
     MojoSWA,
 )
+from mojo_opset_tpu.core.operators.compute_with_comm import (
+    MojoAll2AllQuantGemm,
+    MojoAllGatherGemm,
+    MojoGemmAll2All,
+    MojoGemmAllReduce,
+    MojoGemmReduceScatter,
+    MojoQuantGemmAll2All,
+)
 from mojo_opset_tpu.core.operators.embedding import MojoEmbedding, MojoParallelEmbedding
 from mojo_opset_tpu.core.operators.gemm import MojoGemm, MojoGroupGemm, MojoQuantGemm
 from mojo_opset_tpu.core.operators.kv_cache import (

@@ -1,0 +1,258 @@
+"""Parallel styles: module-level TP/EP/DP plans.
+
+Parity: reference mojo_opset/distributed/parallel/
+(tensor_parallel.py:17-104 MojoTensorParallel/Colwise/Rowwise,
+partitions.py:26-177 weight partitioning incl. GQA-aware QKV split and
+SwiGLU gate/up interleaved split, expert_parallel.py:20-149
+MojoExpertParallel, data_parallel.py:15-109 MojoDataParallel,
+mojo_parallel.py:147-272 MojoDistributedModule + mojo_parallelize_module).
+
+TPU-native re-design: a style resolves to PartitionSpecs applied as
+``NamedSharding`` on the matched module's array leaves (GSPMD inserts the
+collectives that DTensor ``redistribute`` performed explicitly); the
+wrapped module is returned functionally (pytree update), not mutated.
+``MojoQKVColwiseParallel`` reproduces the reference's KV-head replication
+when the TP degree exceeds ``num_kv_heads`` by leaving the KV projections
+replicated (GSPMD handles partial head sharding poorly — replication is
+the safe contract) and ``MojoSwiGLUParallel`` keeps the fused fc1
+gate/up halves aligned per shard by sharding each half independently.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mojo_opset_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+def _put(leaf, mesh, spec):
+    for dim, axis in enumerate(spec):
+        if axis is None:
+            continue
+        size = mesh.shape[axis]
+        if dim >= leaf.ndim or leaf.shape[dim] % size != 0:
+            logger.warning(
+                "parallel style: leaf shape %s not divisible by %d on axis %r; replicating",
+                leaf.shape, size, axis,
+            )
+            return jax.device_put(leaf, NamedSharding(mesh, P()))
+    return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+
+class MojoParallelStyle:
+    """Base: subclass provides spec_for(attr_name, leaf)."""
+
+    axis: str = "tp"
+
+    def __init__(self, axis: Optional[str] = None):
+        if axis is not None:
+            self.axis = axis
+
+    def spec_for(self, name: str, leaf, mesh: Mesh) -> P:
+        raise NotImplementedError
+
+    def apply(self, module, mesh: Mesh):
+        flat, treedef = jax.tree_util.tree_flatten_with_path(module)
+        new_leaves = []
+        for path, leaf in flat:
+            name = jax.tree_util.keystr(path)
+            new_leaves.append(_put(leaf, mesh, self.spec_for(name, leaf, mesh)))
+        return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+class MojoColwiseParallel(MojoParallelStyle):
+    """Column-parallel linear: weight (out, in) shards on out; bias shards."""
+
+    def spec_for(self, name, leaf, mesh):
+        if name.endswith(".weight") and leaf.ndim == 2:
+            return P(self.axis, None)
+        if name.endswith(".bias") and leaf.ndim == 1:
+            return P(self.axis)
+        return P()
+
+
+class MojoRowwiseParallel(MojoParallelStyle):
+    """Row-parallel linear: weight (out, in) shards on in; bias replicated."""
+
+    def spec_for(self, name, leaf, mesh):
+        if name.endswith(".weight") and leaf.ndim == 2:
+            return P(None, self.axis)
+        return P()
+
+
+class MojoQKVColwiseParallel(MojoParallelStyle):
+    """Fused/separate QKV projections, GQA-aware.
+
+    Q shards by heads; K/V shard by kv-heads when ``tp <= num_kv_heads``,
+    otherwise stay replicated (the reference replicates KV heads when
+    ``size > num_kv_heads``, partitions.py:123-177)."""
+
+    def __init__(self, num_heads: int, num_kv_heads: int, axis: Optional[str] = None):
+        super().__init__(axis)
+        self.num_heads = num_heads
+        self.num_kv_heads = num_kv_heads
+
+    def spec_for(self, name, leaf, mesh):
+        tp = mesh.shape[self.axis]
+        shard_kv = tp <= self.num_kv_heads and self.num_kv_heads % tp == 0
+        if "q_proj" in name and name.endswith(".weight"):
+            return P(self.axis, None)
+        if "q_proj" in name and name.endswith(".bias"):
+            return P(self.axis)
+        if any(k in name for k in ("k_proj", "v_proj")) and shard_kv:
+            if name.endswith(".weight"):
+                return P(self.axis, None)
+            if name.endswith(".bias"):
+                return P(self.axis)
+        return P()
+
+    def apply(self, module, mesh: Mesh):
+        tp = mesh.shape[self.axis]
+        shard_kv = tp <= self.num_kv_heads and self.num_kv_heads % tp == 0
+
+        flat, treedef = jax.tree_util.tree_flatten_with_path(module)
+        new_leaves = []
+        for path, leaf in flat:
+            name = jax.tree_util.keystr(path)
+            spec = P()
+            if ("q_proj" in name) and name.endswith(".weight"):
+                spec = P(self.axis, None)
+            elif ("q_proj" in name) and name.endswith(".bias"):
+                spec = P(self.axis)
+            elif any(k in name for k in ("k_proj", "v_proj")):
+                if shard_kv and name.endswith(".weight"):
+                    spec = P(self.axis, None)
+                elif shard_kv and name.endswith(".bias"):
+                    spec = P(self.axis)
+            new_leaves.append(_put(leaf, mesh, spec))
+        return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+class MojoSwiGLUParallel(MojoParallelStyle):
+    """Fused SwiGLU fc1 (2*I, H): shard gate and up halves independently so
+    each shard's chunk() stays aligned (reference partitions.py:92-120)."""
+
+    def apply(self, module, mesh: Mesh):
+        tp = mesh.shape[self.axis]
+        flat, treedef = jax.tree_util.tree_flatten_with_path(module)
+        new_leaves = []
+        for path, leaf in flat:
+            name = jax.tree_util.keystr(path)
+            if "fc1" in name and name.endswith(".weight") and leaf.ndim == 2:
+                two_i = leaf.shape[0]
+                half = two_i // 2
+                if half % tp == 0:
+                    # interleave: reorder rows so each shard gets aligned
+                    # (gate_i, up_i) halves, then shard contiguously
+                    gate, up = leaf[:half], leaf[half:]
+                    gs = gate.reshape(tp, half // tp, -1)
+                    us = up.reshape(tp, half // tp, -1)
+                    inter = jnp.concatenate([gs, us], axis=1).reshape(two_i, -1)
+                    new_leaves.append(_put(inter, mesh, P(self.axis, None)))
+                    continue
+            if "fc2" in name and name.endswith(".weight") and leaf.ndim == 2:
+                new_leaves.append(_put(leaf, mesh, P(None, self.axis)))
+                continue
+            new_leaves.append(_put(leaf, mesh, P()))
+        return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+class MojoTensorParallel(MojoParallelStyle):
+    """Generic Megatron pairing inside an attention/MLP block:
+    colwise for q/k/v/gate/up, rowwise for o/down."""
+
+    COL = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj", "fc1")
+    ROW = ("o_proj", "down_proj", "fc2")
+
+    def spec_for(self, name, leaf, mesh):
+        if leaf.ndim == 2 and name.endswith(".weight"):
+            if any(k in name for k in self.COL):
+                return P(self.axis, None)
+            if any(k in name for k in self.ROW):
+                return P(None, self.axis)
+        if leaf.ndim == 1 and name.endswith(".bias") and any(k in name for k in self.COL):
+            return P(self.axis)
+        return P()
+
+
+class MojoDataParallel(MojoParallelStyle):
+    """Pure input/output resharding — no weight partitioning (reference
+    data_parallel.py:15-109); weights replicate."""
+
+    axis = "dp"
+
+    def spec_for(self, name, leaf, mesh):
+        return P()
+
+
+class MojoExpertParallel(MojoParallelStyle):
+    """Expert-major tensors shard on dim 0 — weights, quant scales and
+    smooth scales included (reference expert_parallel.py:66-126)."""
+
+    axis = "ep"
+
+    EXPERT_MAJOR = (
+        "up_proj_weight", "down_proj_weight", "up_proj_weight_scale",
+        "down_proj_weight_scale", "inv_smooth_scale",
+    )
+
+    def spec_for(self, name, leaf, mesh):
+        if any(k in name for k in self.EXPERT_MAJOR) and leaf.ndim >= 2:
+            return P(*([self.axis] + [None] * (leaf.ndim - 1)))
+        return P()
+
+
+class MojoDistributedModule:
+    """Thin marker wrapper tracking managed params (reference
+    mojo_parallel.py:147-206).  With GSPMD the forward needs no hooks —
+    the module itself is returned sharded; this wrapper only records
+    which leaves a style manages, for checkpoint tooling."""
+
+    def __init__(self, module, style: MojoParallelStyle):
+        self._mod = module
+        self._style = style
+        self._managed_params = [
+            jax.tree_util.keystr(p)
+            for p, leaf in jax.tree_util.tree_flatten_with_path(module)[0]
+        ]
+
+    def __call__(self, *args, **kwargs):
+        return self._mod(*args, **kwargs)
+
+    def get_unmanaged_params(self, model) -> list:
+        managed = set(self._managed_params)
+        return [
+            jax.tree_util.keystr(p)
+            for p, _ in jax.tree_util.tree_flatten_with_path(model)[0]
+            if jax.tree_util.keystr(p) not in managed
+        ]
+
+
+def mojo_parallelize_module(model, mesh: Mesh, plan: Dict[str, MojoParallelStyle]):
+    """Apply a {fnmatch-path: style} plan over a model pytree.
+
+    Returns a new model whose matched sub-modules carry the style's
+    NamedShardings; unmatched leaves are replicated on the mesh.
+    Reference mojo_parallel.py:209-272 (set_submodule replacement becomes
+    a functional pytree rebuild).
+    """
+    flat, treedef = jax.tree_util.tree_flatten_with_path(model)
+    new_leaves = []
+    for path, leaf in flat:
+        name = jax.tree_util.keystr(path)
+        norm = name.replace("']['", ".").replace("['", "").replace("']", "").replace("].", ".")
+        spec = P()
+        for pattern, style in plan.items():
+            # match the pattern against any prefix of the path
+            if fnmatch.fnmatch(norm, f"*{pattern}*"):
+                spec = style.spec_for(norm, leaf, mesh)
+                break
+        new_leaves.append(_put(leaf, mesh, spec))
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
