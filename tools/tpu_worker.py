@@ -34,7 +34,14 @@ def main():
         for job in jobs:
             out_path = job[:-3] + ".out"
             done_path = job[:-3] + ".done"
+            claim_path = job[:-3] + ".claim"
             if os.path.exists(done_path):
+                continue
+            # atomic claim so two workers never fight over the TPU tunnel
+            try:
+                fd = os.open(claim_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+            except FileExistsError:
                 continue
             with open(job) as f:
                 code = f.read()
