@@ -1,10 +1,14 @@
 """Device-side op timing.
 
 Host-side wall-clock through the axon tunnel has a ~30-40us dispatch
-floor, so per-op latencies are measured by chaining ``iters`` invocations
-inside ONE jitted ``lax.scan`` (a data dependency between iterations stops
-XLA from overlapping or eliminating them) and dividing the total device
-time.  This replaces the reference's profiler-span / event timing
+floor, so per-op latencies are measured by chaining invocations inside a
+jitted ``lax.scan`` (a data dependency between iterations stops XLA from
+overlapping or eliminating them).  Fixed costs (dispatch, scan setup) are
+cancelled by timing two chain lengths and dividing the difference:
+
+    per_call = (T(2n) - T(n)) / n        with min-of-k repeats per length
+
+This replaces the reference's profiler-span / event timing
 (reference benchmark/xpu_adapter.py:318-373) with an XLA-native scheme.
 """
 
@@ -17,12 +21,7 @@ import jax
 import jax.numpy as jnp
 
 
-def device_time_us(fn: Callable, *args, iters: int = 100, warmup: int = 2) -> float:
-    """Median-free average device time per call of fn(*args), in µs.
-
-    The first argument is perturbed by a zero-valued carry derived from
-    the previous iteration's output, creating a serial dependency chain.
-    """
+def _chain(fn, args, length):
     a0 = args[0]
     rest = args[1:]
 
@@ -30,32 +29,35 @@ def device_time_us(fn: Callable, *args, iters: int = 100, warmup: int = 2) -> fl
         out = fn(a0 + carry, *rest)
         leaf = jax.tree_util.tree_leaves(out)[0]
         # tiny-but-nonfoldable perturbation keeps the serial chain alive
-        # (a literal *0 lets XLA fold the carry and dead-code the body)
         next_carry = (leaf.ravel()[:1].sum() * 1e-30).astype(a0.dtype)
         return next_carry, ()
 
     @jax.jit
     def run():
-        carry, _ = jax.lax.scan(body, jnp.zeros((), a0.dtype), None, length=iters)
+        carry, _ = jax.lax.scan(body, jnp.zeros((), a0.dtype), None, length=length)
         return carry
 
-    for _ in range(warmup):
-        jax.block_until_ready(run())
-    t0 = time.perf_counter()
-    jax.block_until_ready(run())
-    total = time.perf_counter() - t0
+    return run
 
-    # subtract the dispatch/scan floor measured with a single iteration
-    @jax.jit
-    def run1():
-        carry, _ = jax.lax.scan(body, jnp.zeros((), a0.dtype), None, length=1)
-        return carry
 
-    for _ in range(warmup):
-        jax.block_until_ready(run1())
-    t0 = time.perf_counter()
-    jax.block_until_ready(run1())
-    floor = time.perf_counter() - t0
+def device_time_us(
+    fn: Callable, *args, iters: int = 20, repeats: int = 3, warmup: int = 2
+) -> float:
+    """Average device time per call of fn(*args), in microseconds."""
+    run_n = _chain(fn, args, iters)
+    run_2n = _chain(fn, args, 2 * iters)
 
-    per_call = (total - floor) / max(iters - 1, 1)
+    def best(run):
+        for _ in range(warmup):
+            jax.block_until_ready(run())
+        t_best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run())
+            t_best = min(t_best, time.perf_counter() - t0)
+        return t_best
+
+    t_n = best(run_n)
+    t_2n = best(run_2n)
+    per_call = (t_2n - t_n) / iters
     return max(per_call * 1e6, 1e-3)

@@ -1,0 +1,322 @@
+"""DeepSeek-V3 reference model (MLA + MoE), TPU-native functional design.
+
+Capability parity with reference
+mojo_opset/modeling/deepseekv3/mojo_deepseek_v3.py:408-911:
+  * MLA attention: q LoRA (q_a_proj + q_a_layernorm + q_b_proj),
+    kv_a_proj_with_mqa, latent paged cache (c_kv + k_pe) stored via
+    MojoStorePagedMLAKVCache, attention via MojoPagedPrefill/DecodeMLA
+    (decompression inside the op through the shared kv_b_proj weight);
+  * MoE layers: MojoMoE routed experts + shared-expert MLP
+    (mojo_deepseek_v3.py:355-406); first ``first_k_dense_replace`` layers
+    use a dense MLP.
+
+Functional cache threading matches Qwen3 (modeling_qwen3.py): the session
+owns an MLA cache pytree where ``keys`` hold compressed latents and
+``values`` hold positional keys.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from mojo_opset_tpu.core.module import Module
+from mojo_opset_tpu.core.operators import (
+    MojoApplyRoPE,
+    MojoEmbedding,
+    MojoGemm,
+    MojoMoE,
+    MojoRMSNorm,
+    MojoRotaryEmbedding,
+    MojoSilu,
+)
+from mojo_opset_tpu.experimental.operators.kv_cache import MojoStorePagedMLAKVCache
+from mojo_opset_tpu.experimental.operators.mla import MojoPagedDecodeMLA, MojoPagedPrefillMLA
+from mojo_opset_tpu.runtime.config import MojoConfig, MojoModelConfig
+from mojo_opset_tpu.runtime.session import AttentionMetadata, KVCaches, PagedAttentionRuntimeState
+
+
+@dataclass
+class DeepseekV3Config:
+    hidden_size: int = 7168
+    intermediate_size: int = 18432
+    moe_intermediate_size: int = 2048
+    num_attention_heads: int = 128
+    num_hidden_layers: int = 61
+    vocab_size: int = 129280
+    max_position_embeddings: int = 4096
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+
+    q_lora_rank: Optional[int] = 1536
+    kv_lora_rank: int = 512
+    qk_rope_head_dim: int = 64
+    qk_nope_head_dim: int = 128
+    v_head_dim: int = 128
+
+    n_routed_experts: int = 256
+    n_shared_experts: int = 1
+    num_experts_per_tok: int = 8
+    first_k_dense_replace: int = 3
+
+    tie_word_embeddings: bool = False
+    dtype: object = jnp.bfloat16
+
+    @property
+    def qk_head_dim(self) -> int:
+        return self.qk_nope_head_dim + self.qk_rope_head_dim
+
+    def to_mojo(self) -> MojoConfig:
+        return MojoConfig(
+            model_config=MojoModelConfig(
+                model_name="deepseek_v3",
+                hidden_size=self.hidden_size,
+                embed_dim=self.hidden_size,
+                head_dim=self.qk_head_dim,
+                num_heads=self.num_attention_heads,
+                num_kv_heads=1,
+                num_layers=self.num_hidden_layers,
+                vocab_size=self.vocab_size,
+                max_position_embeddings=self.max_position_embeddings,
+                dtype=self.dtype,
+                rope_theta=self.rope_theta,
+                rms_norm_eps=self.rms_norm_eps,
+                intermediate_size=self.intermediate_size,
+                moe_expert_num=self.n_routed_experts,
+                moe_topk=self.num_experts_per_tok,
+                share_expert_num=self.n_shared_experts,
+                moe_ffn_internal_dim=self.moe_intermediate_size,
+                extra={
+                    "kv_lora_rank": self.kv_lora_rank,
+                    "qk_rope_head_dim": self.qk_rope_head_dim,
+                },
+            )
+        )
+
+
+class MLARuntimeState(PagedAttentionRuntimeState):
+    """Paged session whose caches hold MLA latents: keys = compressed_kv
+    ``(N, 1, bs, kv_lora_rank)``, values = k_pe ``(N, 1, bs, rope_dim)``."""
+
+    def __init__(self, config: MojoConfig, batch_size: int, dtype=None, block_size: int = 128,
+                 max_blocks_per_seq: Optional[int] = None):
+        super().__init__(config, batch_size, dtype=dtype, block_size=block_size,
+                         max_blocks_per_seq=max_blocks_per_seq)
+        mc = config.model_config
+        total_blocks = self.free_blocks.shape[0]
+        r = mc.extra["kv_lora_rank"]
+        dr = mc.extra["qk_rope_head_dim"]
+        self.caches = KVCaches(
+            [jnp.zeros((total_blocks, 1, self.block_size, r), self.dtype)
+             for _ in range(mc.num_layers)],
+            [jnp.zeros((total_blocks, 1, self.block_size, dr), self.dtype)
+             for _ in range(mc.num_layers)],
+            list(range(mc.num_layers)),
+        )
+
+
+class DeepseekV3MLP(Module):
+    def __init__(self, config: DeepseekV3Config, intermediate_size: Optional[int] = None, key=None):
+        inter = intermediate_size or config.intermediate_size
+        ks = jax.random.split(key if key is not None else jax.random.PRNGKey(0), 3)
+        self.gate_proj = MojoGemm(config.hidden_size, inter, bias=False, key=ks[0], dtype=config.dtype)
+        self.up_proj = MojoGemm(config.hidden_size, inter, bias=False, key=ks[1], dtype=config.dtype)
+        self.down_proj = MojoGemm(inter, config.hidden_size, bias=False, key=ks[2], dtype=config.dtype)
+        self.act = MojoSilu()
+
+    def __call__(self, x):
+        return self.down_proj(self.act(self.gate_proj(x)) * self.up_proj(x))
+
+
+class DeepseekV3MoE(Module):
+    """Routed MojoMoE + shared experts (reference mojo_deepseek_v3.py:355-406)."""
+
+    def __init__(self, config: DeepseekV3Config, key=None):
+        k1, k2 = jax.random.split(key if key is not None else jax.random.PRNGKey(0))
+        self.routed_experts = MojoMoE(
+            num_experts=config.n_routed_experts,
+            top_k=config.num_experts_per_tok,
+            hidden_size=config.hidden_size,
+            intermediate_size=config.moe_intermediate_size,
+            key=k1,
+            dtype=config.dtype,
+        )
+        self.shared_experts = DeepseekV3MLP(
+            config, intermediate_size=config.moe_intermediate_size * config.n_shared_experts, key=k2
+        )
+
+    def __call__(self, hidden: jax.Array) -> jax.Array:
+        return self.routed_experts(hidden) + self.shared_experts(hidden)
+
+
+class DeepseekV3Attention(Module):
+    """Multi-head Latent Attention over the paged latent cache."""
+
+    def __init__(self, config: DeepseekV3Config, key=None):
+        c = config
+        ks = jax.random.split(key if key is not None else jax.random.PRNGKey(0), 6)
+        self.num_heads = c.num_attention_heads
+        self.q_lora_rank = c.q_lora_rank
+        self.qk_rope_head_dim = c.qk_rope_head_dim
+        self.kv_lora_rank = c.kv_lora_rank
+        self.v_head_dim = c.v_head_dim
+        self.qk_nope_head_dim = c.qk_nope_head_dim
+        self.qk_head_dim = c.qk_head_dim
+
+        if c.q_lora_rank is None:
+            self.q_proj = MojoGemm(c.hidden_size, self.num_heads * self.qk_head_dim, bias=False,
+                                   key=ks[0], dtype=c.dtype)
+            self.q_a_proj = None
+            self.q_a_layernorm = None
+            self.q_b_proj = None
+        else:
+            self.q_proj = None
+            self.q_a_proj = MojoGemm(c.hidden_size, c.q_lora_rank, bias=False, key=ks[0], dtype=c.dtype)
+            self.q_a_layernorm = MojoRMSNorm(c.q_lora_rank, eps=c.rms_norm_eps)
+            self.q_b_proj = MojoGemm(c.q_lora_rank, self.num_heads * self.qk_head_dim, bias=False,
+                                     key=ks[1], dtype=c.dtype)
+
+        self.kv_a_proj_with_mqa = MojoGemm(
+            c.hidden_size, c.kv_lora_rank + c.qk_rope_head_dim, bias=False, key=ks[2], dtype=c.dtype
+        )
+        self.kv_a_layernorm = MojoRMSNorm(c.kv_lora_rank, eps=c.rms_norm_eps)
+        self.o_proj = MojoGemm(self.num_heads * c.v_head_dim, c.hidden_size, bias=False,
+                               key=ks[3], dtype=c.dtype)
+
+        self.rope = MojoApplyRoPE()
+        self.store_kv = MojoStorePagedMLAKVCache()
+        mla_kw = dict(
+            num_heads=self.num_heads, qk_nope_head_dim=c.qk_nope_head_dim,
+            qk_rope_head_dim=c.qk_rope_head_dim, v_head_dim=c.v_head_dim,
+            kv_lora_rank=c.kv_lora_rank,
+        )
+        # the decompression weight (kv_b_proj) lives inside the MLA ops
+        # (reference experimental/operators/attention.py:73-76); share one
+        # array between prefill and decode
+        self.attn_prefill = MojoPagedPrefillMLA(**mla_kw, key=ks[4])
+        self.attn_decode = MojoPagedDecodeMLA(**mla_kw, key=ks[4])
+        self.scaling = self.qk_head_dim ** (-0.5)
+
+    def __call__(self, hidden, cos, sin, meta: AttentionMetadata, caches: KVCaches, layer_idx: int):
+        T = hidden.shape[0]
+
+        if self.q_lora_rank is None:
+            q = self.q_proj(hidden)
+        else:
+            q = self.q_b_proj(self.q_a_layernorm(self.q_a_proj(hidden)))
+        q = q.reshape(T, self.num_heads, self.qk_head_dim)
+        q_nope, q_rot = q[..., : self.qk_nope_head_dim], q[..., self.qk_nope_head_dim :]
+
+        ckv_full = self.kv_a_proj_with_mqa(hidden)
+        c_kv, k_rot = (
+            ckv_full[..., : self.kv_lora_rank],
+            ckv_full[..., self.kv_lora_rank :],
+        )
+        c_kv = self.kv_a_layernorm(c_kv)
+        k_rot = k_rot[:, None, :]  # (T, 1, dr)
+
+        q_rot, k_rot = self.rope(q_rot, k_rot, cos, sin, head_first=False)
+        query = jnp.concatenate([q_nope, q_rot], axis=-1)
+
+        ckv_cache, kpe_cache = caches.key(layer_idx), caches.value(layer_idx)
+        ckv_cache, kpe_cache = self.store_kv(
+            c_kv, k_rot[:, 0, :], ckv_cache, kpe_cache,
+            meta.block_tables,
+            meta.cu_q_lens if meta.is_prefill else None,
+            meta.context_kv_lens,
+        )
+        caches = caches.update(layer_idx, ckv_cache, kpe_cache)
+
+        if meta.is_prefill:
+            cu_total = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), jnp.cumsum(meta.total_seq_lens)]
+            ).astype(jnp.int32)
+            attn = self.attn_prefill(
+                query, ckv_cache, kpe_cache, meta.cu_q_lens, meta.block_tables,
+                self.scaling, cu_total,
+            )
+        else:
+            attn = self.attn_decode(
+                query, ckv_cache, kpe_cache, meta.total_seq_lens, meta.block_tables,
+                self.scaling,
+            )
+        out = self.o_proj(attn.reshape(T, self.num_heads * self.v_head_dim))
+        return out, caches
+
+
+class DeepseekV3DecoderLayer(Module):
+    def __init__(self, config: DeepseekV3Config, layer_idx: int, key=None):
+        k1, k2 = jax.random.split(key if key is not None else jax.random.PRNGKey(layer_idx))
+        self.input_layernorm = MojoRMSNorm(config.hidden_size, eps=config.rms_norm_eps)
+        self.self_attn = DeepseekV3Attention(config, key=k1)
+        self.post_attention_layernorm = MojoRMSNorm(config.hidden_size, eps=config.rms_norm_eps)
+        if layer_idx >= config.first_k_dense_replace:
+            self.mlp = DeepseekV3MoE(config, key=k2)
+        else:
+            self.mlp = DeepseekV3MLP(config, key=k2)
+
+    def __call__(self, hidden, cos, sin, meta, caches, layer_idx):
+        residual = hidden
+        hidden = self.input_layernorm(hidden)
+        attn_out, caches = self.self_attn(hidden, cos, sin, meta, caches, layer_idx)
+        hidden = residual + attn_out
+        residual = hidden
+        hidden = residual + self.mlp(self.post_attention_layernorm(hidden))
+        return hidden, caches
+
+
+class DeepseekV3Model(Module):
+    def __init__(self, config: DeepseekV3Config, key=None):
+        keys = jax.random.split(key if key is not None else jax.random.PRNGKey(0),
+                                config.num_hidden_layers + 1)
+        self.embed_tokens = MojoEmbedding(config.vocab_size, config.hidden_size,
+                                          key=keys[0], dtype=config.dtype)
+        self.layers = [
+            DeepseekV3DecoderLayer(config, i, key=keys[i + 1])
+            for i in range(config.num_hidden_layers)
+        ]
+        self.norm = MojoRMSNorm(config.hidden_size, eps=config.rms_norm_eps)
+        self.rotary_emb = MojoRotaryEmbedding(config.rope_theta, config.qk_rope_head_dim)
+
+    def __call__(self, input_ids, positions, meta, caches):
+        hidden = self.embed_tokens(input_ids)
+        cos, sin = self.rotary_emb(hidden, position_ids=positions.astype(jnp.int32))
+        cos = cos.astype(hidden.dtype)
+        sin = sin.astype(hidden.dtype)
+        for layer_idx, layer in enumerate(self.layers):
+            hidden, caches = layer(hidden, cos, sin, meta, caches, layer_idx)
+        return self.norm(hidden), caches
+
+
+class DeepseekV3ForCausalLM(Module):
+    """Functional paged-generation DeepSeek-V3 (MLA + MoE)."""
+
+    def __init__(self, config: DeepseekV3Config, key: Optional[jax.Array] = None):
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        k1, k2 = jax.random.split(key)
+        self._config = config
+        self.model = DeepseekV3Model(config, k1)
+        self.lm_head = (
+            None
+            if config.tie_word_embeddings
+            else MojoGemm(config.hidden_size, config.vocab_size, bias=False, key=k2, dtype=config.dtype)
+        )
+
+    @property
+    def config(self) -> MojoConfig:
+        return self._config.to_mojo()
+
+    def __call__(self, input_ids, positions, meta, caches, lm_head_indices=None):
+        hidden, caches = self.model(input_ids, positions, meta, caches)
+        if lm_head_indices is not None:
+            hidden = hidden[lm_head_indices]
+        logits = (
+            hidden @ self.model.embed_tokens.weight.T
+            if self.lm_head is None
+            else self.lm_head(hidden)
+        )
+        return logits.astype(jnp.float32), caches

@@ -6,3 +6,8 @@ from mojo_opset_tpu.modeling.qwen3.modeling_qwen3 import (
     Qwen3MLP,
     Qwen3Model,
 )
+from mojo_opset_tpu.modeling.qwen3.modeling_qwen3_moe import (
+    Qwen3MoeConfig,
+    Qwen3MoeDecoderLayer,
+    Qwen3MoeForCausalLM,
+)

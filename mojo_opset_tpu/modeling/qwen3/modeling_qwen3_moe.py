@@ -1,0 +1,105 @@
+"""Qwen3-MoE reference model.
+
+Capability parity with reference mojo_opset/modeling/qwen3/mojo_qwen3_moe.py
+(MoE decoder block wiring MojoMoEGating/Dispatch/Combine + GroupGemm) —
+extended to a full causal LM by swapping the dense MLP of Qwen3 for the
+MojoMoE pipeline.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from mojo_opset_tpu.core.module import Module
+from mojo_opset_tpu.core.operators import MojoMoE
+from mojo_opset_tpu.modeling.qwen3.modeling_qwen3 import (
+    Qwen3Attention,
+    Qwen3Config,
+    Qwen3ForCausalLM,
+    Qwen3Model,
+)
+from mojo_opset_tpu.core.operators import MojoEmbedding, MojoGemm, MojoRMSNorm, MojoRotaryEmbedding
+
+
+@dataclass
+class Qwen3MoeConfig(Qwen3Config):
+    num_experts: int = 128
+    num_experts_per_tok: int = 8
+    moe_intermediate_size: int = 768
+
+    def to_mojo(self):
+        cfg = super().to_mojo()
+        cfg.model_config.moe_expert_num = self.num_experts
+        cfg.model_config.moe_topk = self.num_experts_per_tok
+        cfg.model_config.moe_ffn_internal_dim = self.moe_intermediate_size
+        return cfg
+
+
+class Qwen3MoeDecoderLayer(Module):
+    def __init__(self, config: Qwen3MoeConfig, key):
+        k1, k2 = jax.random.split(key)
+        self.input_layernorm = MojoRMSNorm(config.hidden_size, eps=config.rms_norm_eps)
+        self.self_attn = Qwen3Attention(config, k1)
+        self.post_attention_layernorm = MojoRMSNorm(config.hidden_size, eps=config.rms_norm_eps)
+        self.mlp = MojoMoE(
+            num_experts=config.num_experts,
+            top_k=config.num_experts_per_tok,
+            hidden_size=config.hidden_size,
+            intermediate_size=config.moe_intermediate_size,
+            key=k2,
+            dtype=config.dtype,
+        )
+
+    def __call__(self, hidden, cos, sin, meta, caches, layer_idx):
+        residual = hidden
+        attn_out, caches = self.self_attn(
+            self.input_layernorm(hidden), cos, sin, meta, caches, layer_idx
+        )
+        hidden = residual + attn_out
+        residual = hidden
+        hidden = residual + self.mlp(self.post_attention_layernorm(hidden))
+        return hidden, caches
+
+
+class Qwen3MoeForCausalLM(Module):
+    def __init__(self, config: Qwen3MoeConfig, key: Optional[jax.Array] = None):
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        keys = jax.random.split(key, config.num_hidden_layers + 3)
+        self._config = config
+        self.embed_tokens = MojoEmbedding(
+            config.vocab_size, config.hidden_size, key=keys[0], dtype=config.dtype
+        )
+        self.layers = [
+            Qwen3MoeDecoderLayer(config, keys[i + 1]) for i in range(config.num_hidden_layers)
+        ]
+        self.norm = MojoRMSNorm(config.hidden_size, eps=config.rms_norm_eps)
+        self.rotary_emb = MojoRotaryEmbedding(config.rope_theta, config.head_dim)
+        self.lm_head = (
+            None
+            if config.tie_word_embeddings
+            else MojoGemm(config.hidden_size, config.vocab_size, bias=False, key=keys[-1], dtype=config.dtype)
+        )
+
+    @property
+    def config(self):
+        return self._config.to_mojo()
+
+    def __call__(self, input_ids, positions, meta, caches, lm_head_indices=None):
+        hidden = self.embed_tokens(input_ids)
+        cos, sin = self.rotary_emb(hidden, position_ids=positions.astype(jnp.int32))
+        cos = cos.astype(hidden.dtype)
+        sin = sin.astype(hidden.dtype)
+        for layer_idx, layer in enumerate(self.layers):
+            hidden, caches = layer(hidden, cos, sin, meta, caches, layer_idx)
+        hidden = self.norm(hidden)
+        if lm_head_indices is not None:
+            hidden = hidden[lm_head_indices]
+        logits = (
+            hidden @ self.embed_tokens.weight.T if self.lm_head is None else self.lm_head(hidden)
+        )
+        return logits.astype(jnp.float32), caches
