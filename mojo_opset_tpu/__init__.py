@@ -25,6 +25,7 @@ from mojo_opset_tpu.core import (  # noqa: F401
     MojoOperator,
 )
 from mojo_opset_tpu.core.operators import *  # noqa: F401,F403
+from mojo_opset_tpu.core.functions import *  # noqa: F401,F403
 
 # Backend tiers (registration side effects).
 import mojo_opset_tpu.backends  # noqa: F401,E402

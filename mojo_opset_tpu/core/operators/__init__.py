@@ -69,3 +69,12 @@ from mojo_opset_tpu.core.operators.sampling import (
     MojoTopPFilter,
     MojoTopPSampling,
 )
+from mojo_opset_tpu.core.operators.convolution import MojoCausalConv1dUpdateState, causal_conv1d
+from mojo_opset_tpu.core.operators.over_encoding import (
+    MojoNF4DequantEmbedding,
+    MojoOverEncoding,
+    MojoOverEncodingNGram,
+    dequantize_nf4_rows,
+    n_gram_ids,
+    unpack_nf4_int8_to_uint4,
+)
