@@ -35,6 +35,12 @@ def _time_fn(fn, *args, iters=50, warmup=5):
     return (time.perf_counter() - t0) / iters
 
 
+def _device_time_us(fn, *args, iters=16):
+    from mojo_opset_tpu.benchmark import device_time_us
+
+    return device_time_us(fn, *args, iters=iters)
+
+
 def bench_paged_decode_gqa():
     """Reference shape: q (8, 16, 128) bf16; kv cache (·, 4, 32, 128);
     seq len ~ up to 4 blocks/seq of 32 = 128 ctx... use the benchmark.md
@@ -53,9 +59,8 @@ def bench_paged_decode_gqa():
     bt = jnp.arange(n_blocks, dtype=jnp.int32).reshape(B, blocks_per_seq)
 
     op = m.MojoPagedDecodeGQA()  # highest-priority tier for the platform
-    fn = jax.jit(lambda q, kc, vc, sl, bt: op(q, kc, vc, sl, bt))
-    sec = _time_fn(fn, q, kc, vc, seq_lens, bt, iters=100)
-    return sec * 1e6, type(op).__name__
+    us = _device_time_us(lambda q, *r: op(q, *r), q, kc, vc, seq_lens, bt)
+    return us, type(op).__name__
 
 
 def bench_qwen3_decode_tokens_per_sec():

@@ -28,8 +28,11 @@ def _chain(fn, args, length):
     def body(carry, _):
         out = fn(a0 + carry, *rest)
         leaf = jax.tree_util.tree_leaves(out)[0]
-        # tiny-but-nonfoldable perturbation keeps the serial chain alive
-        next_carry = (leaf.ravel()[:1].sum() * 1e-30).astype(a0.dtype)
+        # Data-dependent carry that is zero at runtime but NOT provably
+        # zero to XLA (a scaled-constant carry underflows in bf16 and the
+        # whole body gets hoisted out of the scan).
+        flag = jnp.isnan(leaf.ravel()[0].astype(jnp.float32))
+        next_carry = jnp.where(flag, 1.0, 0.0).astype(a0.dtype)
         return next_carry, ()
 
     @jax.jit
