@@ -1,0 +1,141 @@
+"""Per-op benchmark runner CLI.
+
+Parity: reference mojo_opset/benchmark/run_perf.py:38- and
+xpu_adapter.py:135-432 (build tensors, bind state onto the op instance,
+time, emit a summary table).
+
+Usage::
+
+    python -m mojo_opset_tpu.benchmark.run_perf --ops PagedDecodeGQA \
+        --providers ref,xla,pallas --preset smoke [--json out.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from typing import Optional
+
+import jax
+
+from mojo_opset_tpu.benchmark.api import (
+    PERF_REGISTRY,
+    LiteralArg,
+    PerfSpec,
+    discover_perf_specs,
+)
+from mojo_opset_tpu.benchmark.timing import device_time_us
+from mojo_opset_tpu.core.registry import BackendNotAvailable
+from mojo_opset_tpu.utils.logging import get_logger, log_table
+
+logger = get_logger(__name__)
+
+
+def _build_op(spec: PerfSpec, provider: str, workload):
+    impl = spec.target.get_backend_impl(provider, strict=True)
+    op = impl(**dict(workload.op_kwargs))
+    return op
+
+
+def run_case(spec: PerfSpec, provider: str, case, iters: int = 16) -> Optional[dict]:
+    workload = spec.workload_fn(case)
+    try:
+        op = _build_op(spec, provider, workload)
+    except BackendNotAvailable:
+        return None
+
+    tensors = {
+        name: ts.build(None, idx) for idx, (name, ts) in enumerate(workload.inputs.items())
+    }
+    # bind state (weights) onto op attributes (reference xpu_adapter.py:301)
+    for attr, tensor_name in workload.state.items():
+        op = op.replace(**{attr: tensors[tensor_name]})
+
+    def resolve(v):
+        if isinstance(v, LiteralArg):
+            return v.value
+        if isinstance(v, str) and v in tensors:
+            return tensors[v]
+        return v
+
+    args = tuple(resolve(a) for a in workload.args)
+    kwargs = {k: resolve(v) for k, v in workload.kwargs.items()}
+
+    if workload.run is not None:
+        fn = lambda *a: workload.run(op, *a, **kwargs)  # noqa: E731
+    else:
+        fn = lambda *a: op(*a, **kwargs)  # noqa: E731
+
+    # correctness guard: one eager call
+    out = fn(*args)
+    jax.block_until_ready(jax.tree_util.tree_leaves(out))
+
+    us = device_time_us(fn, *args, iters=iters)
+    rec = {
+        "op": spec.name,
+        "case": case.id,
+        "provider": provider,
+        "us": round(us, 2),
+    }
+    if workload.flops:
+        rec["tflops"] = round(workload.flops / (us * 1e-6) / 1e12, 3)
+    if workload.read_bytes or workload.write_bytes:
+        total = (workload.read_bytes or 0) + (workload.write_bytes or 0)
+        rec["gbps"] = round(total / (us * 1e-6) / 1e9, 1)
+    return rec
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--ops", default=None, help="comma-separated op names (default all)")
+    parser.add_argument("--providers", default="ref,xla,pallas")
+    parser.add_argument("--preset", default="smoke", choices=["smoke", "full"])
+    parser.add_argument("--iters", type=int, default=16)
+    parser.add_argument("--json", default=None)
+    parser.add_argument("--package", default="tests.perf_new")
+    args = parser.parse_args(argv)
+
+    discover_perf_specs(args.package)
+    ops = args.ops.split(",") if args.ops else list(PERF_REGISTRY)
+    providers = args.providers.split(",")
+
+    results = []
+    for name in ops:
+        spec = PERF_REGISTRY.get(name)
+        if spec is None:
+            logger.warning("unknown op %s (known: %s)", name, list(PERF_REGISTRY))
+            continue
+        for case in spec.cases:
+            if args.preset == "smoke" and case.tags and "smoke" not in case.tags:
+                continue
+            for pname in providers:
+                provider = next((p for p in spec.providers if p.name == pname), None)
+                if provider is None:
+                    continue
+                if provider.supports is not None and not provider.supports(case):
+                    continue
+                try:
+                    rec = run_case(spec, pname, case, iters=args.iters)
+                except Exception as exc:
+                    logger.warning("%s/%s/%s failed: %r", name, case.id, pname, exc)
+                    continue
+                if rec is not None:
+                    results.append(rec)
+                    logger.info("%s", rec)
+
+    log_table(logger, f"{'op':<28} | {'case':<24} | {'provider':<8} | {'us':>10} | {'tflops':>8} | {'GB/s':>8}")
+    log_table(logger, "-" * 100)
+    for r in results:
+        log_table(
+            logger,
+            f"{r['op']:<28} | {r['case']:<24} | {r['provider']:<8} | "
+            f"{r['us']:>10.2f} | {r.get('tflops', ''):>8} | {r.get('gbps', ''):>8}",
+        )
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=2)
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,193 @@
+"""HuggingFace checkpoint interop.
+
+Parity: reference mojo_opset/utils/hf_utils.py:38-343
+(``build_model_from_hf`` :110 — config + meta model + sharded-safetensors
+load :288; renaming/converter pipeline :176-287).
+
+TPU re-design: models are pytrees, so "load_state_dict" is a functional
+leaf replacement keyed by normalized dotted names; our modules are named
+after the HF layout (model.layers.N.self_attn.q_proj.weight ...) so most
+weights map 1:1, with converter hooks for the rest.  RoPE tables and
+workspace buffers are excluded like the reference's post hooks
+(core/operators/position_embedding.py:22-30).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mojo_opset_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+# buffers never loaded from checkpoints (reference load-state post hooks)
+IGNORED_SUFFIXES = ("inv_freq", "cos", "sin", "codebook", "oe_vocab_sizes",
+                    "oe_grams", "oe_vocab_offsets")
+
+
+def normalize_path(keystr_path: str) -> str:
+    """jax keystr ``.model.layers[0].self_attn...`` -> ``model.layers.0.self_attn...``"""
+    s = keystr_path
+    s = s.replace("']['", ".").replace("['", ".").replace("']", "")
+    s = re.sub(r"\[(\d+)\]", r".\1", s)
+    s = s.replace("..", ".")
+    return s.strip(".")
+
+
+def state_dict_of(model) -> Dict[str, np.ndarray]:
+    flat, _ = jax.tree_util.tree_flatten_with_path(model)
+    return {
+        normalize_path(jax.tree_util.keystr(p)): np.asarray(jax.device_get(l))
+        for p, l in flat
+    }
+
+
+def load_state_dict(
+    model,
+    weights: Dict[str, np.ndarray],
+    rename_hooks: Optional[List[Callable[[str], Optional[str]]]] = None,
+    converters: Optional[Dict[str, Callable[[np.ndarray], np.ndarray]]] = None,
+    strict: bool = True,
+):
+    """Return a copy of ``model`` with leaves replaced from ``weights``.
+
+    ``rename_hooks``: functions mapping a model path to the checkpoint key
+    (first non-None wins).  ``converters``: {path-regex: fn(array)} applied
+    to the loaded tensor (transpose/fuse/split transformations —
+    reference hf_utils.py:176-287 converter pipeline).
+    """
+    rename_hooks = rename_hooks or []
+    converters = converters or {}
+    flat, treedef = jax.tree_util.tree_flatten_with_path(model)
+    new_leaves, missing, used = [], [], set()
+    for p, leaf in flat:
+        path = normalize_path(jax.tree_util.keystr(p))
+        if path.split(".")[-1] in IGNORED_SUFFIXES:
+            new_leaves.append(leaf)
+            continue
+        key = None
+        for hook in rename_hooks:
+            key = hook(path)
+            if key is not None:
+                break
+        if key is None:
+            key = path
+        if key in weights:
+            val = weights[key]
+            for pattern, fn in converters.items():
+                if re.fullmatch(pattern, path):
+                    val = fn(val)
+            if tuple(val.shape) != tuple(leaf.shape):
+                raise ValueError(
+                    f"shape mismatch for {path}: checkpoint {val.shape} vs model {leaf.shape}"
+                )
+            sharding = getattr(leaf, "sharding", None)
+            arr = jnp.asarray(val, dtype=leaf.dtype)
+            if sharding is not None:
+                arr = jax.device_put(arr, sharding)
+            new_leaves.append(arr)
+            used.add(key)
+        else:
+            missing.append(path)
+            new_leaves.append(leaf)
+    unexpected = [k for k in weights if k not in used]
+    if missing and strict:
+        raise KeyError(f"missing weights: {missing[:10]} (+{max(0, len(missing)-10)} more)")
+    if missing:
+        logger.warning("load_state_dict: %d params kept their init values", len(missing))
+    if unexpected:
+        logger.debug("load_state_dict: %d unused checkpoint tensors", len(unexpected))
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def load_sharded_safetensors(checkpoint_dir: str) -> Dict[str, np.ndarray]:
+    """Load a HF sharded-safetensors checkpoint directory
+    (model.safetensors.index.json + shards, or a single file)."""
+    from safetensors import safe_open
+
+    index_path = os.path.join(checkpoint_dir, "model.safetensors.index.json")
+    weights: Dict[str, np.ndarray] = {}
+    if os.path.exists(index_path):
+        with open(index_path) as f:
+            index = json.load(f)
+        shards = sorted(set(index["weight_map"].values()))
+        for shard in shards:
+            with safe_open(os.path.join(checkpoint_dir, shard), framework="np") as f:
+                for k in f.keys():
+                    weights[k] = f.get_tensor(k)
+    else:
+        single = os.path.join(checkpoint_dir, "model.safetensors")
+        if not os.path.exists(single):
+            raise FileNotFoundError(f"no safetensors checkpoint under {checkpoint_dir}")
+        with safe_open(single, framework="np") as f:
+            for k in f.keys():
+                weights[k] = f.get_tensor(k)
+    logger.info("loaded %d tensors from %s", len(weights), checkpoint_dir)
+    return weights
+
+
+def strip_prefix_hook(prefix: str) -> Callable[[str], Optional[str]]:
+    """Common HF rename: model path 'model.layers...' == checkpoint key;
+    some checkpoints store everything under an extra prefix."""
+
+    def hook(path: str) -> Optional[str]:
+        return prefix + path
+
+    return hook
+
+
+def build_model_from_hf(
+    model_ctor: Callable[..., object],
+    checkpoint_dir: str,
+    config_translate: Optional[Callable[[dict], object]] = None,
+    rename_hooks: Optional[List[Callable[[str], Optional[str]]]] = None,
+    converters: Optional[Dict[str, Callable]] = None,
+    strict: bool = False,
+    **ctor_kwargs,
+):
+    """Build a model from an HF checkpoint directory: read config.json,
+    translate it, construct the (randomly-initialized) model, then load
+    the sharded safetensors functionally (the reference's meta-model +
+    assign-load flow, hf_utils.py:110-175)."""
+    cfg_path = os.path.join(checkpoint_dir, "config.json")
+    cfg_dict = {}
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            cfg_dict = json.load(f)
+    if config_translate is not None:
+        config = config_translate(cfg_dict)
+        model = model_ctor(config, **ctor_kwargs)
+    else:
+        model = model_ctor(**ctor_kwargs)
+    weights = load_sharded_safetensors(checkpoint_dir)
+    return load_state_dict(model, weights, rename_hooks, converters, strict=strict)
+
+
+# -- model-specific config translators ---------------------------------
+
+
+def qwen3_config_from_hf(cfg: dict):
+    from mojo_opset_tpu.modeling.qwen3 import Qwen3Config
+
+    return Qwen3Config(
+        hidden_size=cfg.get("hidden_size", 4096),
+        intermediate_size=cfg.get("intermediate_size", 11008),
+        num_attention_heads=cfg.get("num_attention_heads", 32),
+        num_key_value_heads=cfg.get("num_key_value_heads", 8),
+        num_hidden_layers=cfg.get("num_hidden_layers", 32),
+        head_dim=cfg.get("head_dim", cfg.get("hidden_size", 4096) // cfg.get("num_attention_heads", 32)),
+        vocab_size=cfg.get("vocab_size", 151936),
+        max_position_embeddings=cfg.get("max_position_embeddings", 8192),
+        rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
+        rope_theta=cfg.get("rope_theta", 10000.0),
+        attention_bias=cfg.get("attention_bias", False),
+        tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+    )

@@ -1,0 +1,47 @@
+"""Model patching: route HF-ecosystem models through Mojo ops.
+
+Parity: reference mojo_opset/utils/patching.py:1-160
+(apply_mojo_to_qwen3 replaces transformers' Qwen3 internals with Mojo ops
+pre-instantiation; apply_mojo_to_wan2_2 likewise).
+
+TPU re-design: the reference swaps torch modules inside the HF package;
+the JAX-native equivalent is a *checkpoint-level* patch — HF weights load
+into our Mojo-op models (same module names) so examples can switch an HF
+model for the Mojo version with one call.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+from mojo_opset_tpu.utils.hf import (
+    build_model_from_hf,
+    load_state_dict,
+    qwen3_config_from_hf,
+)
+from mojo_opset_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+def apply_mojo_to_qwen3(checkpoint_dir: str, key: Optional[jax.Array] = None, **kwargs):
+    """Build the Mojo-op Qwen3ForCausalLM from an HF Qwen3 checkpoint
+    (the analogue of patching transformers' modeling_qwen3 —
+    reference patching.py:1-81)."""
+    from mojo_opset_tpu.modeling.qwen3 import Qwen3ForCausalLM
+
+    return build_model_from_hf(
+        Qwen3ForCausalLM, checkpoint_dir, config_translate=qwen3_config_from_hf,
+        key=key, **kwargs,
+    )
+
+
+def apply_mojo_to_wan2_2(dit_state: dict, config=None, key: Optional[jax.Array] = None):
+    """Load a Wan2.2 DiT state dict into the Mojo-op WanModel
+    (reference patching.py:136-160)."""
+    from mojo_opset_tpu.modeling.wan2_2 import WanConfig, WanModel
+
+    model = WanModel(config or WanConfig(), key=key)
+    return load_state_dict(model, dit_state, strict=False)

@@ -1,0 +1,125 @@
+"""MojoDebugger integration tests.
+
+Reference analogue: tests/base/test_debug_utils.py (747 LoC, 25+ cases:
+dump, compare, replace mode, env-var rule switching).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mojo_opset_tpu as m
+from mojo_opset_tpu.utils.debugger import MojoDebugger, _matches, _parse_rules
+
+
+@pytest.fixture(autouse=True)
+def _clean_debugger():
+    yield
+    MojoDebugger.disable()
+
+
+def _xla_groupgemm():
+    w = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8))
+    return m.MojoGroupGemm.get_backend_impl("xla")(w)
+
+
+def test_rule_parsing_and_matching():
+    rules = _parse_rules("3:RMSNorm, *:PagedDecodeGQA, none:Gelu")
+    assert _matches(rules, 3, "RMSNorm")
+    assert not _matches(rules, 2, "RMSNorm")
+    assert _matches(rules, 7, "PagedDecodeGQA")
+    assert not _matches(rules, 0, "Gelu")
+    assert not _matches(_parse_rules(""), 0, "RMSNorm")
+
+
+class _ListHandler(__import__("logging").Handler):
+    def __init__(self):
+        super().__init__()
+        self.records = []
+
+    def emit(self, record):
+        self.records.append(record)
+
+
+def _capture_logger():
+    import logging
+    h = _ListHandler()
+    logging.getLogger("mojo_opset_tpu.utils.debugger").addHandler(h)
+    return h
+
+
+def test_compare_logs_and_keeps_output():
+    h = _capture_logger()
+    MojoDebugger.enable(compare="*:GroupGemm")
+    op = _xla_groupgemm()
+    x = jax.random.normal(jax.random.PRNGKey(1), (6, 8))
+    gl = jnp.array([2, 4], jnp.int32)
+    out = op(x, gl)
+    assert out.shape == (6, 8)
+    assert any("cos_sim" in r.getMessage() for r in h.records)
+
+
+def test_replace_mode_substitutes_ref_output():
+    MojoDebugger.enable(compare="*:GroupGemm", compare_mode="replace")
+    op = _xla_groupgemm()
+    x = jax.random.normal(jax.random.PRNGKey(1), (6, 8))
+    gl = jnp.array([2, 4], jnp.int32)
+    out = op(x, gl)
+    ref = MojoDebugger._shadow_of(op)
+    want = ref.forward(x, gl)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+
+
+def test_dump_writes_npz(tmp_path):
+    MojoDebugger.enable(dump="*:Silu", dump_dir=str(tmp_path))
+    op = m.MojoSilu()
+    op(jax.random.normal(jax.random.PRNGKey(0), (4, 4)))
+    files = list(tmp_path.rglob("*.npz"))
+    assert len(files) == 1
+    data = np.load(files[0])
+    assert "in0" in data and "out0" in data
+
+
+def test_env_rules_reread_each_forward(monkeypatch, tmp_path):
+    MojoDebugger.enable(dump_dir=str(tmp_path))
+    op = m.MojoSilu()
+    op(jnp.ones((2, 2)))  # no rules -> nothing
+    assert not list(tmp_path.rglob("*.npz"))
+    monkeypatch.setenv("MOJO_DEBUG_DUMP", "*:Silu")
+    op(jnp.ones((2, 2)))
+    assert len(list(tmp_path.rglob("*.npz"))) == 1
+    monkeypatch.delenv("MOJO_DEBUG_DUMP")
+    op(jnp.ones((2, 2)))
+    assert len(list(tmp_path.rglob("*.npz"))) == 1
+
+
+def test_layer_occurrence_counting(tmp_path):
+    MojoDebugger.enable(dump="1:Silu", dump_dir=str(tmp_path))
+    op = m.MojoSilu()
+    MojoDebugger.new_step()
+    op(jnp.ones((2,)))  # layer 0: no match
+    op(jnp.ones((2,)))  # layer 1: dump
+    op(jnp.ones((2,)))  # layer 2: no
+    assert len(list(tmp_path.rglob("*.npz"))) == 1
+    MojoDebugger.new_step()
+    op(jnp.ones((2,)))
+    op(jnp.ones((2,)))
+    assert len(list(tmp_path.rglob("*.npz"))) == 2
+
+
+def test_errors_are_swallowed():
+    MojoDebugger.enable(compare="*:Silu")  # Silu has no non-ref tier -> warns
+    op = m.MojoSilu()
+    out = op(jnp.ones((3,)))
+    assert out.shape == (3,)
+
+
+def test_debugger_skips_under_jit():
+    MojoDebugger.enable(dump="*:Silu", dump_dir="/tmp/should_not_exist_dbg")
+    op = m.MojoSilu()
+    out = jax.jit(lambda x: op(x))(jnp.ones((2, 2)))
+    assert float(out.sum()) > 0
+    assert not os.path.exists("/tmp/should_not_exist_dbg")

@@ -1,0 +1,99 @@
+"""HF checkpoint interop tests (reference tests/base HF weight loading)."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mojo_opset_tpu.modeling.qwen3 import Qwen3Config, Qwen3ForCausalLM
+from mojo_opset_tpu.utils.hf import (
+    build_model_from_hf,
+    load_state_dict,
+    normalize_path,
+    qwen3_config_from_hf,
+    state_dict_of,
+)
+
+TINY_HF_CFG = dict(
+    hidden_size=32, intermediate_size=64, num_attention_heads=4,
+    num_key_value_heads=2, num_hidden_layers=2, head_dim=8, vocab_size=64,
+    max_position_embeddings=64, rms_norm_eps=1e-6, rope_theta=10000.0,
+)
+
+
+def test_normalize_path():
+    assert normalize_path(".model.layers[3].self_attn.q_proj.weight") == \
+        "model.layers.3.self_attn.q_proj.weight"
+
+
+def test_state_dict_roundtrip():
+    cfg = qwen3_config_from_hf(TINY_HF_CFG)
+    cfg.dtype = jnp.float32
+    model = Qwen3ForCausalLM(cfg, key=jax.random.PRNGKey(1))
+    sd = state_dict_of(model)
+    assert "model.embed_tokens.weight" in sd
+    assert "model.layers.0.self_attn.q_proj.weight" in sd
+    assert "lm_head.weight" in sd
+
+    zeroed = jax.tree_util.tree_map(lambda x: x * 0, model)
+    restored = load_state_dict(zeroed, sd)
+    np.testing.assert_array_equal(
+        np.asarray(restored.model.layers[1].mlp.gate_proj.weight),
+        np.asarray(model.model.layers[1].mlp.gate_proj.weight),
+    )
+
+
+def test_rope_buffers_excluded():
+    cfg = qwen3_config_from_hf(TINY_HF_CFG)
+    cfg.dtype = jnp.float32
+    model = Qwen3ForCausalLM(cfg, key=jax.random.PRNGKey(1))
+    sd = state_dict_of(model)
+    sd = {k: v for k, v in sd.items() if not k.endswith("inv_freq")}
+    load_state_dict(model, sd, strict=True)  # must not raise on inv_freq
+
+
+def test_build_model_from_sharded_safetensors(tmp_path):
+    from safetensors.numpy import save_file
+
+    cfg = qwen3_config_from_hf(TINY_HF_CFG)
+    cfg.dtype = jnp.float32
+    source = Qwen3ForCausalLM(cfg, key=jax.random.PRNGKey(7))
+    sd = {k: v for k, v in state_dict_of(source).items() if not k.endswith("inv_freq")}
+
+    # write a 2-shard checkpoint + index + config.json
+    keys = sorted(sd)
+    half = len(keys) // 2
+    shards = {"model-00001.safetensors": {k: sd[k] for k in keys[:half]},
+              "model-00002.safetensors": {k: sd[k] for k in keys[half:]}}
+    weight_map = {k: s for s, kv in shards.items() for k in kv}
+    for name, kv in shards.items():
+        save_file(kv, os.path.join(tmp_path, name))
+    with open(tmp_path / "model.safetensors.index.json", "w") as f:
+        json.dump({"weight_map": weight_map}, f)
+    with open(tmp_path / "config.json", "w") as f:
+        json.dump(TINY_HF_CFG, f)
+
+    def _translate(cfg_dict):
+        c = qwen3_config_from_hf(cfg_dict)
+        c.dtype = jnp.float32
+        return c
+
+    loaded = build_model_from_hf(
+        Qwen3ForCausalLM, str(tmp_path), config_translate=_translate,
+        key=jax.random.PRNGKey(0),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(loaded.lm_head.weight), np.asarray(source.lm_head.weight)
+    )
+    # loaded model produces identical logits to the source
+    from mojo_opset_tpu.runtime import PagedAttentionGenerationModel
+
+    ga = PagedAttentionGenerationModel(source, block_size=16, jit=False)
+    gb = PagedAttentionGenerationModel(loaded, block_size=16, jit=False)
+    ids = np.array([1, 2, 3], np.int32)
+    la, _ = ga(ids, context_input_len=np.array([3], np.int32))
+    lb, _ = gb(ids, context_input_len=np.array([3], np.int32))
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-5)
