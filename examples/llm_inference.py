@@ -1,0 +1,108 @@
+"""Qwen3 LLM inference example.
+
+Parity: reference examples/llm_inference.py:38-120 — build a Qwen3 model
+(from an HF checkpoint when given, else random weights), run paged
+prefill + decode generation, print tokens, and optionally sweep the
+PerfMojoGenerator protocol.
+
+Usage::
+
+    python examples/llm_inference.py [--checkpoint DIR] [--prompt TEXT]
+        [--max-new-tokens N] [--perf] [--tiny]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def build_model(args):
+    from mojo_opset_tpu.modeling.qwen3 import Qwen3Config, Qwen3ForCausalLM
+
+    if args.checkpoint:
+        from mojo_opset_tpu.utils.patching import apply_mojo_to_qwen3
+
+        return apply_mojo_to_qwen3(args.checkpoint, key=jax.random.PRNGKey(0))
+    if args.tiny:
+        cfg = Qwen3Config(
+            hidden_size=256, intermediate_size=512, num_attention_heads=8,
+            num_key_value_heads=4, num_hidden_layers=4, head_dim=32,
+            vocab_size=32000, max_position_embeddings=4096,
+            dtype=jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32,
+        )
+    else:
+        cfg = Qwen3Config()  # 32-layer default
+    return Qwen3ForCausalLM(cfg, key=jax.random.PRNGKey(0))
+
+
+class _FallbackTokenizer:
+    """Byte-level stand-in when no HF tokenizer is available."""
+
+    eos_token_id = 0
+
+    def __call__(self, prompts, return_tensors=None):
+        class R:
+            input_ids = [[min(b, 255) + 1 for b in p.encode()] for p in (
+                prompts if isinstance(prompts, list) else [prompts]
+            )]
+
+        return R()
+
+    def decode(self, ids):
+        return "".join(chr(max(int(i) - 1, 32) % 128) for i in np.asarray(ids).ravel())
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--tokenizer", default=None)
+    parser.add_argument("--prompt", default="The quick brown fox")
+    parser.add_argument("--max-new-tokens", type=int, default=32)
+    parser.add_argument("--block-size", type=int, default=64)
+    parser.add_argument("--greedy", action="store_true")
+    parser.add_argument("--perf", action="store_true", help="run the PerfMojoGenerator sweep")
+    parser.add_argument("--tiny", action="store_true", help="small random model (no checkpoint)")
+    args = parser.parse_args()
+
+    from mojo_opset_tpu.runtime import (
+        GreedySampler,
+        MojoGenerator,
+        PagedAttentionGenerationModel,
+        PerfMojoGenerator,
+        TopKSampler,
+    )
+
+    model = build_model(args)
+    gen_model = PagedAttentionGenerationModel(model, block_size=args.block_size)
+
+    if args.tokenizer:
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
+    else:
+        tokenizer = _FallbackTokenizer()
+
+    sampler = GreedySampler() if args.greedy else TopKSampler(top_k=50)
+
+    if args.perf:
+        gen = PerfMojoGenerator(gen_model, tokenizer, sampler,
+                                max_new_tokens=args.max_new_tokens)
+        gen(prefill_seqlens=(512, 1024, 2048), decode_batch_sizes=(1, 2, 4, 8))
+        return
+
+    gen = MojoGenerator(gen_model, tokenizer, sampler,
+                        max_new_tokens=args.max_new_tokens)
+    out = gen(args.prompt)
+    print("-" * 40)
+    print("generated ids:", out)
+    if hasattr(tokenizer, "decode"):
+        print("decoded:", tokenizer.decode(out[0]))
+
+
+if __name__ == "__main__":
+    main()

@@ -23,3 +23,10 @@ from mojo_opset_tpu.runtime.session import (
     PagedAttentionGenerationModel,
     PagedAttentionRuntimeState,
 )
+from mojo_opset_tpu.runtime.comm_context import MojoComputeCommContext, MojoSymmetricMemoryManager
+from mojo_opset_tpu.runtime.parallel import (
+    dp_allreduce,
+    dp_gather,
+    dp_scatter,
+    merge_group_and_share_ffn,
+)

@@ -64,3 +64,14 @@ def test_pallas_paged_decode_matches_ref(layout):
     op_p = m.MojoPagedDecodeGQA.get_backend_impl("pallas", strict=True)(gqa_layout=layout)
     op_r = m.MojoPagedDecodeGQA.get_backend_impl("ref")(gqa_layout=layout)
     op_p.forward_diff_with(op_r, *args, atol=1e-4, rtol=1e-4)
+
+
+def test_pallas_paged_prefill_matches_ref():
+    case = make_paged_case(seq_lens=(23, 5, 37), q_lens=(23, 5, 20), head_dim=128,
+                           block_size=16, max_blocks=4)
+    q = randn(7, (case["total_q"], case["hq"], 128))
+    args = (q, case["key_cache"], case["value_cache"], case["cu_q_lens"],
+            case["block_tables"], None, case["cu_total_seq_lens"])
+    op_p = m.MojoPagedPrefillGQA.get_backend_impl("pallas", strict=True)()
+    op_r = m.MojoPagedPrefillGQA.get_backend_impl("ref")()
+    op_p.forward_diff_with(op_r, *args, atol=1e-4, rtol=1e-4)
