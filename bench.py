@@ -69,17 +69,20 @@ def bench_qwen3_decode_tokens_per_sec():
     from mojo_opset_tpu.runtime import PagedAttentionGenerationModel
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
+    # Qwen3-0.6B-like geometry (real Qwen3 uses head_dim=128 at every size)
     cfg = Qwen3Config(
         hidden_size=1024 if on_tpu else 128,
-        intermediate_size=4096 if on_tpu else 256,
+        intermediate_size=3072 if on_tpu else 256,
         num_attention_heads=16 if on_tpu else 4,
-        num_key_value_heads=4 if on_tpu else 2,
+        num_key_value_heads=8 if on_tpu else 2,
         num_hidden_layers=8 if on_tpu else 2,
-        head_dim=64 if on_tpu else 32,
+        head_dim=128 if on_tpu else 32,
         vocab_size=32000 if on_tpu else 512,
         max_position_embeddings=2048,
         dtype=jnp.bfloat16 if on_tpu else jnp.float32,
     )
+    from mojo_opset_tpu.runtime.session import FusedDecode
+
     model = Qwen3ForCausalLM(cfg, key=jax.random.PRNGKey(0))
     gm = PagedAttentionGenerationModel(model, block_size=64)
 
@@ -90,17 +93,16 @@ def bench_qwen3_decode_tokens_per_sec():
     logits, session = gm(ids, context_input_len=lens)
     tok = jnp.argmax(logits, -1).astype(jnp.int32)
 
-    # warmup decode (compile)
-    logits, session = gm(tok, session=session)
-    tok = jnp.argmax(logits, -1).astype(jnp.int32)
-    jax.block_until_ready(tok)
+    fused = FusedDecode(model, sample_method="greedy")
+    steps = 64
+    for _ in range(2):  # compile + one warm run (post-compile caches settle)
+        toks = fused(session, tok, steps)
+        jax.block_until_ready(toks)
+        tok = toks[-1]
 
-    steps = 32
     t0 = time.perf_counter()
-    for _ in range(steps):
-        logits, session = gm(tok, session=session)
-        tok = jnp.argmax(logits, -1).astype(jnp.int32)
-    jax.block_until_ready(tok)
+    toks = fused(session, tok, steps)
+    jax.block_until_ready(toks)
     dt = time.perf_counter() - t0
     return B * steps / dt, cfg
 

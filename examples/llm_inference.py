@@ -65,6 +65,8 @@ def main():
     parser.add_argument("--max-new-tokens", type=int, default=32)
     parser.add_argument("--block-size", type=int, default=64)
     parser.add_argument("--greedy", action="store_true")
+    parser.add_argument("--fused", action="store_true",
+                        help="decode the whole window in one fused XLA executable")
     parser.add_argument("--perf", action="store_true", help="run the PerfMojoGenerator sweep")
     parser.add_argument("--tiny", action="store_true", help="small random model (no checkpoint)")
     args = parser.parse_args()
@@ -97,7 +99,7 @@ def main():
 
     gen = MojoGenerator(gen_model, tokenizer, sampler,
                         max_new_tokens=args.max_new_tokens)
-    out = gen(args.prompt)
+    out = gen(args.prompt, fused_decode=args.fused)
     print("-" * 40)
     print("generated ids:", out)
     if hasattr(tokenizer, "decode"):

@@ -35,8 +35,12 @@ class PallasPagedDecodeGQA(MojoPagedDecodeGQA):
         *,
         max_total_seq_len: Optional[int] = None,
     ) -> jax.Array:
-        if mask is not None and not self.is_causal:
-            # masked decode stays on the golden path
+        interpret = pallas_interpret_mode()
+        if (mask is not None and not self.is_causal) or (
+            not interpret and query.shape[-1] % 128 != 0
+        ):
+            # masked decode stays on the golden path; on real TPU hardware
+            # Mosaic dynamic DMA views need lane-aligned (128) head dims
             return MojoPagedDecodeGQA.forward(
                 self, query, key_cache, value_cache, total_seq_lens, block_tables,
                 softmax_scale, mask, max_total_seq_len=max_total_seq_len,
@@ -44,7 +48,7 @@ class PallasPagedDecodeGQA(MojoPagedDecodeGQA):
         return paged_decode_gqa(
             query, key_cache, value_cache, total_seq_lens, block_tables,
             softmax_scale=softmax_scale, gqa_layout=self.gqa_layout,
-            interpret=pallas_interpret_mode(),
+            interpret=interpret,
         )
 
 
@@ -62,11 +66,13 @@ class PallasPagedPrefillGQA(MojoPagedPrefillGQA):
         max_q_len: Optional[int] = None,
         max_total_seq_len: Optional[int] = None,
     ) -> jax.Array:
+        interpret = pallas_interpret_mode()
         if (
             not self.is_causal
             or mask is not None
             or self.gqa_layout != "AABB"
             or query.shape[0] < 8
+            or (not interpret and query.shape[-1] % 128 != 0)
         ):
             # custom-mask / ABAB / tiny-token path: fall back to the golden
             return MojoPagedPrefillGQA.forward(
@@ -79,5 +85,5 @@ class PallasPagedPrefillGQA(MojoPagedPrefillGQA):
             query, key_cache, value_cache, cu_q_lens, block_tables,
             kv_lens.astype(jnp.int32),
             softmax_scale=softmax_scale, gqa_layout=self.gqa_layout,
-            interpret=pallas_interpret_mode(),
+            interpret=interpret,
         )

@@ -204,15 +204,59 @@ class MojoGenerator:
         self._key, sub = jax.random.split(self._key)
         return sub
 
-    def __call__(self, prompts):
+    def __call__(self, prompts, **kwargs):
         encoded = self.tokenizer(prompts, return_tensors=None).input_ids
         context_input_len = np.asarray([len(seq) for seq in encoded], np.int32)
         input_ids = np.concatenate([np.asarray(seq, np.int32) for seq in encoded])
         print(f"Prompt: {prompts}")
         print("-" * 40)
-        return self.generate_from_ids(input_ids, context_input_len)
+        return self.generate_from_ids(input_ids, context_input_len, **kwargs)
 
     def generate_from_ids(
+        self,
+        input_ids,
+        context_input_len,
+        max_decode_steps: Optional[int] = None,
+        ignore_eos: bool = False,
+        silent: bool = False,
+        fused_decode: bool = False,
+    ):
+        if fused_decode:
+            return self._generate_fused(input_ids, context_input_len, max_decode_steps, ignore_eos)
+        return self._generate_stepwise(
+            input_ids, context_input_len, max_decode_steps, ignore_eos, silent
+        )
+
+    def _generate_fused(self, input_ids, context_input_len, max_decode_steps, ignore_eos):
+        """Whole decode window in one XLA executable (FusedDecode); EOS
+        masking applied on the host afterwards."""
+        from mojo_opset_tpu.runtime.session import FusedDecode
+
+        if max_decode_steps is None:
+            max_decode_steps = self.max_new_tokens
+        eos_id = getattr(self.tokenizer, "eos_token_id", -1)
+        if eos_id is None:
+            eos_id = -1
+
+        self._run_hooks("before_prefill", input_ids=input_ids, context_input_len=context_input_len)
+        logits, session = self.model(input_ids, context_input_len=context_input_len)
+        self._run_hooks("after_prefill", logits=logits, session=session)
+
+        first = self.sampler(logits, session, key=self._next_key())
+        self._run_hooks("before_decode")
+        method = "greedy" if isinstance(self.sampler, GreedySampler) else "topk"
+        fused = FusedDecode(self.model.model, sample_method=method,
+                            top_k=getattr(getattr(self.sampler, "op", None), "top_k", 50))
+        toks = fused(session, first, max_decode_steps - 1, key=self._next_key())
+        out = np.concatenate([np.asarray(first)[None], np.asarray(toks)], axis=0).T  # (B, steps)
+        self._run_hooks("after_decode", decode_steps=max_decode_steps - 1, generated_ids=list(out.T))
+        if not ignore_eos and eos_id >= 0:
+            hit = out == eos_id
+            after = np.cumsum(hit, axis=1) > 0
+            out = np.where(after, eos_id, out)
+        return out
+
+    def _generate_stepwise(
         self,
         input_ids,
         context_input_len,

@@ -163,11 +163,22 @@ class PagedAttentionRuntimeState:
         )
         total_blocks = batch_size * self.max_blocks_per_seq
 
-        # host-side allocator state
+        # host-side allocator state; the C++ allocator (runtime/native/)
+        # shares these numpy buffers zero-copy and is used when available
         self.block_tables = np.full((batch_size, self.max_blocks_per_seq), -1, np.int32)
         self.total_seq_lens = np.zeros((batch_size,), np.int32)
         self.free_blocks = np.arange(total_blocks, dtype=np.int32)
         self.num_free_blocks = total_blocks
+        self._native = None
+        try:
+            from mojo_opset_tpu.runtime.native import NativeBlockAllocator, native_available
+
+            if native_available():
+                self._native = NativeBlockAllocator(
+                    batch_size, self.max_blocks_per_seq, total_blocks, block_size
+                )
+        except Exception:
+            self._native = None
 
         cache_shape = (total_blocks, self.num_kv_heads, block_size, self.head_dim)
         self.caches = KVCaches.create(
@@ -195,12 +206,19 @@ class PagedAttentionRuntimeState:
         self.num_free_blocks -= num_blocks
         return allocated
 
+    def free_block_count(self) -> int:
+        if self._native is not None:
+            return self._native.num_free_blocks
+        return self.num_free_blocks
+
     def _normalize_q_lens(self, q_lens) -> np.ndarray:
         if q_lens is None:
             return np.ones(self.batch_size, np.int32)
         return np.asarray(q_lens, np.int32)
 
     def _reserve(self, q_lens: np.ndarray) -> np.ndarray:
+        if self._native is not None:
+            return self._native.reserve(q_lens, self.total_seq_lens, self.block_tables)
         previous = self.total_seq_lens.copy()
         for batch_idx in range(self.batch_size):
             context_len = int(previous[batch_idx])
@@ -212,6 +230,20 @@ class PagedAttentionRuntimeState:
                 self.block_tables[batch_idx, old_blocks:new_blocks] = newly
         self.total_seq_lens = previous + q_lens
         return previous
+
+    def release_sequence(self, batch_idx: int) -> None:
+        """Return a finished sequence's blocks to the pool (continuous
+        batching slot reuse)."""
+        if self._native is not None:
+            self._native.release(batch_idx, self.total_seq_lens, self.block_tables)
+            return
+        used = -(-int(self.total_seq_lens[batch_idx]) // self.block_size)
+        row = self.block_tables[batch_idx, :used]
+        valid = row[row >= 0]
+        self.free_blocks[self.num_free_blocks : self.num_free_blocks + valid.size] = valid[::-1]
+        self.num_free_blocks += valid.size
+        self.block_tables[batch_idx, :used] = -1
+        self.total_seq_lens[batch_idx] = 0
 
     def _build_positions(self, context_kv_lens: np.ndarray, q_lens: np.ndarray) -> np.ndarray:
         positions = []
@@ -328,3 +360,79 @@ class PagedAttentionGenerationModel:
             )
         session.caches = new_caches
         return logits, session
+
+
+def _sample_tokens(logits: jax.Array, method: str, key, top_k: int = 50) -> jax.Array:
+    if method == "greedy":
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if method == "topk":
+        vals, idx = jax.lax.top_k(logits.astype(jnp.float32), top_k)
+        choice = jax.random.categorical(key, vals)
+        return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
+    raise ValueError(f"unknown sample method {method!r}")
+
+
+class FusedDecode:
+    """Multi-token decode fused into one XLA executable.
+
+    Token-by-token decode pays one host<->device round trip per token
+    (sampling + metadata rebuild).  This pre-reserves KV blocks for
+    ``n_steps`` on the host, then runs the whole window — model forward,
+    on-device sampling, metadata increments — inside a single
+    ``lax.scan`` (donated caches).  EOS handling happens on the host
+    afterwards, matching batch-serving semantics.
+    """
+
+    def __init__(self, model, sample_method: str = "greedy", top_k: int = 50):
+        self.model = model
+        self.sample_method = sample_method
+        self.top_k = top_k
+        from mojo_opset_tpu.runtime.compile_cache import CompiledStepPool
+
+        def _run(model, first_tokens, caches, lens0, block_tables, key, n_steps):
+            def step(carry, i):
+                tokens, caches, key = carry
+                meta = AttentionMetadata(
+                    q_lens=jnp.ones_like(lens0),
+                    cu_q_lens=None,
+                    total_seq_lens=lens0 + i + 1,
+                    context_kv_lens=lens0 + i,
+                    block_tables=block_tables,
+                    is_prefill=False,
+                )
+                logits, caches = model(tokens, lens0 + i, meta, caches, lm_head_indices=None)
+                key, sub = jax.random.split(key)
+                next_tokens = _sample_tokens(logits, self.sample_method, sub, self.top_k)
+                return (next_tokens, caches, key), next_tokens
+
+            (last, caches, _), toks = jax.lax.scan(
+                step, (first_tokens, caches, key), jnp.arange(n_steps, dtype=jnp.int32)
+            )
+            return toks, caches
+
+        self._pool = CompiledStepPool(_run, donate_argnums=(2,))
+        self._n_steps_cache = {}
+
+    def __call__(self, session: PagedAttentionRuntimeState, first_tokens, n_steps: int,
+                 key=None):
+        """Returns (tokens (n_steps, B) int32); session caches/lens update."""
+        lens0 = session.total_seq_lens.copy()
+        for _ in range(n_steps):
+            session._reserve(np.ones(session.batch_size, np.int32))
+        bt = jnp.asarray(session.block_tables, jnp.int32)
+        lens0_j = jnp.asarray(lens0, jnp.int32)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        first = jnp.asarray(first_tokens, jnp.int32).reshape(-1)
+
+        import functools
+
+        fn = functools.partial(self._pool._step_fn, n_steps=n_steps)
+        sig = ("fused", n_steps, self._pool.signature(self.model, first, session.caches))
+        if sig not in self._n_steps_cache:
+            self._n_steps_cache[sig] = jax.jit(fn, donate_argnums=(2,))
+        toks, new_caches = self._n_steps_cache[sig](
+            self.model, first, session.caches, lens0_j, bt, key
+        )
+        session.caches = new_caches
+        return toks

@@ -79,6 +79,33 @@ def test_generator_loop_greedy(monkeypatch):
     np.testing.assert_array_equal(out, out2)
 
 
+def test_generator_fused_matches_stepwise(monkeypatch):
+    """fused_decode=True (single-executable decode window) must produce
+    the same greedy tokens as the token-by-token loop."""
+    model = _build("xla", monkeypatch)
+    ids = np.array([1, 2, 3, 4, 9, 8, 7], np.int32)
+    lens = np.array([4, 3], np.int32)
+
+    gm = PagedAttentionGenerationModel(model, block_size=16)
+    gen = MojoGenerator(gm, FakeTokenizer(), GreedySampler(), max_new_tokens=5)
+    step = gen.generate_from_ids(ids, lens, ignore_eos=True, silent=True)
+
+    gm2 = PagedAttentionGenerationModel(model, block_size=16)
+    gen2 = MojoGenerator(gm2, FakeTokenizer(), GreedySampler(), max_new_tokens=5)
+    fused = gen2.generate_from_ids(ids, lens, ignore_eos=True, fused_decode=True)
+
+    np.testing.assert_array_equal(np.asarray(step), np.asarray(fused))
+
+    # EOS masking: everything after the first eos id is clamped to eos
+    gm3 = PagedAttentionGenerationModel(model, block_size=16)
+    gen3 = MojoGenerator(gm3, FakeTokenizer(), GreedySampler(), max_new_tokens=5)
+    masked = gen3.generate_from_ids(ids, lens, ignore_eos=False, fused_decode=True)
+    for row in np.asarray(masked):
+        hits = np.where(row == FakeTokenizer.eos_token_id)[0]
+        if len(hits):
+            assert (row[hits[0]:] == FakeTokenizer.eos_token_id).all()
+
+
 def test_chunked_prefill_matches_single_shot(monkeypatch):
     """Feeding a prompt in two prefill chunks must produce the same
     next-token logits as one shot (exercises context_kv_lens > 0 paths)."""
