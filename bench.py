@@ -35,10 +35,10 @@ def _time_fn(fn, *args, iters=50, warmup=5):
     return (time.perf_counter() - t0) / iters
 
 
-def _device_time_us(fn, *args, iters=16):
+def _device_time_us(fn, *args, iters=16, **kw):
     from mojo_opset_tpu.benchmark import device_time_us
 
-    return device_time_us(fn, *args, iters=iters)
+    return device_time_us(fn, *args, iters=iters, **kw)
 
 
 def bench_paged_decode_gqa():
@@ -59,7 +59,7 @@ def bench_paged_decode_gqa():
     bt = jnp.arange(n_blocks, dtype=jnp.int32).reshape(B, blocks_per_seq)
 
     op = m.MojoPagedDecodeGQA()  # highest-priority tier for the platform
-    us = _device_time_us(lambda q, *r: op(q, *r), q, kc, vc, seq_lens, bt)
+    us = _device_time_us(lambda q, *r: op(q, *r), q, kc, vc, seq_lens, bt, iters=64)
     return us, type(op).__name__
 
 

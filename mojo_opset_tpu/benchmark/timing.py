@@ -44,7 +44,7 @@ def _chain(fn, args, length):
 
 
 def device_time_us(
-    fn: Callable, *args, iters: int = 20, repeats: int = 3, warmup: int = 2
+    fn: Callable, *args, iters: int = 20, repeats: int = 6, warmup: int = 2
 ) -> float:
     """Average device time per call of fn(*args), in microseconds."""
     run_n = _chain(fn, args, iters)
