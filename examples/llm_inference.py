@@ -98,7 +98,8 @@ def main():
     if args.perf:
         gen = PerfMojoGenerator(gen_model, tokenizer, sampler,
                                 max_new_tokens=args.max_new_tokens)
-        gen(prefill_seqlens=(512, 1024, 2048), decode_batch_sizes=(1, 2, 4, 8))
+        gen(prefill_seqlens=(512, 1024, 2048), decode_batch_sizes=(1, 2, 4, 8),
+            fused=args.fused)
         return
 
     gen = MojoGenerator(gen_model, tokenizer, sampler,

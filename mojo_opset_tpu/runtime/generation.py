@@ -347,7 +347,37 @@ class PerfMojoGenerator(MojoGenerator):
             max_decode_steps=max_decode_steps, ignore_eos=True, silent=True,
         )
 
-    def __call__(self, prompts=None, prefill_seqlens=None, decode_batch_sizes=None):
+    def _run_fused_decode_case(self, batch_size):
+        """Time a whole FusedDecode window (warm compile first)."""
+        from mojo_opset_tpu.runtime.session import FusedDecode
+
+        vocab_size = 32000
+        if hasattr(self.model, "model") and hasattr(self.model.model, "config"):
+            vocab_size = getattr(self.model.model.config.model_config, "vocab_size", 32000)
+        rng = np.random.default_rng(0)
+        seqlen = self.DECODE_CONTEXT
+        ids = rng.integers(0, vocab_size, (batch_size * seqlen,)).astype(np.int32)
+        lens = np.full((batch_size,), seqlen, np.int32)
+        logits, session = self.model(ids, context_input_len=lens)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        steps = self.max_new_tokens
+        fused = FusedDecode(self.model.model, sample_method="greedy")
+        for _ in range(2):  # compile + settle
+            toks = fused(session, tok, steps)
+            jax.block_until_ready(toks)
+            tok = toks[-1]
+        t0 = time.perf_counter()
+        toks = fused(session, tok, steps)
+        jax.block_until_ready(toks)
+        dt = time.perf_counter() - t0
+        return {
+            "batch_size": batch_size, "decode_steps": steps,
+            "decode_avg_ms": dt / steps * 1e3,
+            "throughput": batch_size * steps / dt,
+        }
+
+    def __call__(self, prompts=None, prefill_seqlens=None, decode_batch_sizes=None,
+                 fused=False):
         logger.info("Starting Prefill Latency Tests...")
         self.perf_hook.records.clear()
         for seqlen in prefill_seqlens or self.PREFILL_SEQLENS:
@@ -368,6 +398,19 @@ class PerfMojoGenerator(MojoGenerator):
             )
         decode_records = list(self.perf_hook.records)
 
+        fused_records = []
+        if fused:
+            logger.info("Starting FUSED Decode Throughput Tests...")
+            for bs in decode_batch_sizes or self.DECODE_BATCH_SIZES:
+                fused_records.append(self._run_fused_decode_case(bs))
+            log_table(logger, "=" * 80)
+            log_table(logger, f"{'Fused Decode Throughput (single-executable window)':^80}")
+            log_table(logger, f"{'Batch Size':<12} | {'Decode Steps':<15} | "
+                              f"{'Avg Latency (ms/step)':<22} | {'Throughput (tok/s)':<20}")
+            for r in fused_records:
+                log_table(logger, f"{r['batch_size']:<12} | {r['decode_steps']:<15} | "
+                                  f"{r['decode_avg_ms']:<22.2f} | {r['throughput']:<20.2f}")
+
         log_table(logger, "=" * 80)
         log_table(logger, f"{'Decode Throughput Tests (Context Len = %d)' % self.DECODE_CONTEXT:^80}")
         log_table(
@@ -379,4 +422,5 @@ class PerfMojoGenerator(MojoGenerator):
                 logger,
                 f"{r['batch_size']:<12} | {r['decode_steps']:<15} | {r['decode_avg_ms']:<22.2f} | {r['throughput']:<20.2f}",
             )
-        return {"prefill": prefill_records, "decode": decode_records}
+        return {"prefill": prefill_records, "decode": decode_records,
+                "fused_decode": fused_records}
