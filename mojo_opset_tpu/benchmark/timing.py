@@ -22,25 +22,25 @@ import jax.numpy as jnp
 
 
 def _chain(fn, args, length):
-    a0 = args[0]
-    rest = args[1:]
-
-    def body(carry, _):
-        out = fn(a0 + carry, *rest)
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        # Data-dependent carry that is zero at runtime but NOT provably
-        # zero to XLA (a scaled-constant carry underflows in bf16 and the
-        # whole body gets hoisted out of the scan).
-        flag = jnp.isnan(leaf.ravel()[0].astype(jnp.float32))
-        next_carry = jnp.where(flag, 1.0, 0.0).astype(a0.dtype)
-        return next_carry, ()
-
+    # Inputs enter as REAL jit arguments, never closure constants: baked-in
+    # constants (a) blow up the remote-compile payload for big operands and
+    # (b) would let XLA constant-fold the op under test.
     @jax.jit
-    def run():
+    def run(a0, *rest):
+        def body(carry, _):
+            out = fn(a0 + carry, *rest)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            # Data-dependent carry that is zero at runtime but NOT provably
+            # zero to XLA (a scaled-constant carry underflows in bf16 and
+            # the whole body gets hoisted out of the scan).
+            flag = jnp.isnan(leaf.ravel()[0].astype(jnp.float32))
+            next_carry = jnp.where(flag, 1.0, 0.0).astype(a0.dtype)
+            return next_carry, ()
+
         carry, _ = jax.lax.scan(body, jnp.zeros((), a0.dtype), None, length=length)
         return carry
 
-    return run
+    return lambda: run(*args)
 
 
 def device_time_us(

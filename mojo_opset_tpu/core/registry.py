@@ -86,7 +86,13 @@ class MojoBackendRegistry:
                     f"available: {list(self._registry)}"
                 )
             assert self._registry, f"{self._operator_name} has no registered backend."
-            fallback = next(iter(self._registry.values()))
+            # resolve priority at CALL time: the platform can change after
+            # import (e.g. a TPU process re-pointing at a virtual CPU mesh)
+            priority = get_backend_priority()
+            fallback = min(
+                self._registry.items(),
+                key=lambda it: priority.index(it[0]) if it[0] in priority else len(priority),
+            )[1]
             if backend_name is not None:
                 logger.debug(
                     "Backend %r not registered for %s; falling back to %s.",
