@@ -1,0 +1,48 @@
+"""Pallas-tier GEMM ops.
+
+Analogue of the reference TTX group_gemm wrappers
+(backends/ttx/operators/gemm.py over kernels/npu/a2/group_gemm.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mojo_opset_tpu.backends.pallas.kernels.group_gemm import grouped_matmul
+from mojo_opset_tpu.core.operators.gemm import MojoGroupGemm
+from mojo_opset_tpu.utils.platform import pallas_interpret_mode
+
+
+class PallasGroupGemm(MojoGroupGemm):
+    """Padded-GMM grouped matmul (one expert per M tile on the MXU)."""
+
+    def forward(self, input: jax.Array, group_list: jax.Array) -> jax.Array:
+        weight = self._canonical_weight()
+        M, K = input.shape
+        G, _, N = weight.shape
+        interpret = pallas_interpret_mode()
+        # geometry the kernel cannot tile: keep the xla tier's ragged_dot
+        if K % 128 != 0 or N % 128 != 0 or M % 8 != 0 or M < 24:
+            out = jax.lax.ragged_dot(
+                input, weight,
+                group_sizes=jnp.asarray(group_list, jnp.int32),
+                preferred_element_type=jnp.float32,
+            )
+            return out.astype(input.dtype)
+        bn = 256 if N % 256 == 0 else 128
+        bm = 512 if M >= 4096 else max(8, ((M // 16) // 8) * 8 or 8)
+        # single k chunk when the weight slab fits VMEM: exact ragged_dot
+        # numerics (one fp32 accumulation chain) and no inter-chunk adds
+        if K <= 4096:
+            bk = K
+        elif K % 4096 == 0:
+            bk = 4096
+        elif K % 2048 == 0:
+            bk = 2048
+        else:
+            bk = K  # small odd K (multiple of 128 guaranteed above)
+        return grouped_matmul(
+            input, weight, jnp.asarray(group_list, jnp.int32),
+            bm=bm, bn=bn, bk=bk, interpret=interpret,
+        )

@@ -66,6 +66,27 @@ def test_group_gemm_trans_weight():
     xla.forward_diff_with(op, x, gl, atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize(
+    "counts", [(256, 512, 256), (0, 640, 384), (1024, 0, 0), (100, 412, 512)]
+)
+def test_group_gemm_pallas_padded_gmm(counts):
+    """Pallas padded-GMM kernel (interpret mode) vs the ref per-group loop,
+    including empty groups and non-tile-aligned splits."""
+    G, Din, Dout = 3, 128, 256
+    M = sum(counts)
+    w = randn(0, (G, Din, Dout)) * 0.1
+    x = randn(1, (M, Din))
+    gl = jnp.array(counts, jnp.int32)
+
+    ref = m.MojoGroupGemm.get_backend_impl("ref")(w)
+    pal = m.MojoGroupGemm.get_backend_impl("pallas")(w)
+    out_ref = ref(x, gl)
+    out_pal = pal(x, gl)
+    np.testing.assert_allclose(
+        np.asarray(out_pal), np.asarray(out_ref), atol=2e-4, rtol=2e-4
+    )
+
+
 def test_quant_gemm_int8():
     M, K, N = 6, 32, 16
     rng = np.random.default_rng(0)

@@ -61,6 +61,20 @@ def test_experts_ref_vs_xla():
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=2e-5, rtol=2e-5)
 
 
+def test_experts_pallas_gmm_vs_ref():
+    """Pallas experts (aligned-window GMM, interpret mode) vs golden,
+    at a geometry the kernel accepts (H/I multiples of 128/256)."""
+    E, H, I = 4, 128, 128
+    ref = m.MojoExperts.get_backend_impl("ref")(E, H, I)
+    pal = m.MojoExperts.get_backend_impl("pallas")(E, H, I)
+    pal = pal.sync_weights_from(ref)
+    tpe = jnp.array([100, 0, 412, 512], jnp.int32)
+    x = randn(1, (1024, H)) * 0.1
+    o1 = ref(x, tpe)
+    o2 = pal(x, tpe)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=5e-4, rtol=5e-4)
+
+
 def test_combine_scatter_add():
     T, H = 4, 8
     combine = m.MojoMoECombine.get_backend_impl("ref")()
