@@ -44,11 +44,17 @@ def _chain(fn, args, length):
 
 
 def device_time_us(
-    fn: Callable, *args, iters: int = 20, repeats: int = 6, warmup: int = 2
+    fn: Callable, *args, iters: int = 20, repeats: int = 6, warmup: int = 2,
+    max_iters: int = 512,
 ) -> float:
-    """Average device time per call of fn(*args), in microseconds."""
-    run_n = _chain(fn, args, iters)
-    run_2n = _chain(fn, args, 2 * iters)
+    """Average device time per call of fn(*args), in microseconds.
+
+    The per-dispatch floor through the axon tunnel is ~3.5 ms with ~1 ms
+    of jitter, so a fixed chain length drowns microsecond ops in floor
+    noise. The chain length doubles until the doubled chain costs at
+    least 1.8x the single one — i.e. the marginal per-call cost clearly
+    dominates the floor — before trusting (T(2n)-T(n))/n.
+    """
 
     def best(run):
         for _ in range(warmup):
@@ -60,7 +66,15 @@ def device_time_us(
             t_best = min(t_best, time.perf_counter() - t0)
         return t_best
 
-    t_n = best(run_n)
-    t_2n = best(run_2n)
-    per_call = (t_2n - t_n) / iters
+    n = max(1, iters)
+    per_call = 0.0
+    while True:
+        t_n = best(_chain(fn, args, n))
+        t_2n = best(_chain(fn, args, 2 * n))
+        per_call = (t_2n - t_n) / n
+        if per_call > 0 and t_2n >= 1.8 * t_n:
+            break
+        if 2 * n >= max_iters:
+            break
+        n *= 2
     return max(per_call * 1e6, 1e-3)
