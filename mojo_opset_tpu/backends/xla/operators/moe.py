@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from mojo_opset_tpu.core.operators.moe import (
     MojoExperts,
     MojoMoE,
+    MojoQuantExperts,
     MojoQuantMoE,
 )
 
@@ -36,6 +37,49 @@ class XlaExperts(MojoExperts):
             act, w_down, group_sizes=group_sizes, preferred_element_type=jnp.float32
         )
         return out.astype(sorted_hidden_states.dtype)
+
+
+class XlaQuantExperts(MojoQuantExperts):
+    """Jittable w8a8 grouped SwiGLU: int8 ragged_dot on the MXU with
+    per-token activation scales and per-expert/channel weight scales
+    applied on the int32 accumulators (the golden is an eager per-expert
+    loop, reference moe.py:452-667). int4-packed weights and group-wise
+    weight scales keep the golden path."""
+
+    def forward(self, sorted_hidden_states: jax.Array, tokens_per_expert: jax.Array):
+        if (
+            self.up_weight_dtype == "int4"
+            or self.down_weight_dtype == "int4"
+            or self.up_quant_group_size > 0
+            or self.down_quant_group_size > 0
+        ):
+            return MojoQuantExperts.forward(self, sorted_hidden_states, tokens_per_expert)
+
+        M = sorted_hidden_states.shape[0]
+        dtype = sorted_hidden_states.dtype
+        gs = tokens_per_expert.astype(jnp.int32)
+        # expert id of each sorted row (rows past the total map to the
+        # last expert; their outputs are never combined)
+        ends = jnp.cumsum(gs)
+        gid = jnp.sum(jnp.arange(M)[:, None] >= ends[None, :], axis=-1)
+        gid = jnp.clip(gid, 0, self.num_experts - 1)
+
+        x_int8, x_scale = self.up_proj_quantize(sorted_hidden_states, tokens_per_expert)
+        w_up = jnp.swapaxes(self.up_proj_weight, 1, 2)  # (E, H, 2I) int8
+        fc1 = jax.lax.ragged_dot(
+            x_int8, w_up, group_sizes=gs, preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+        fc1 = fc1 * x_scale.astype(jnp.float32) * self.up_proj_weight_scale[gid].astype(jnp.float32)
+        gate, up = jnp.split(fc1, 2, axis=-1)
+        act = (jax.nn.silu(gate) * up).astype(dtype)
+
+        y_int8, y_scale = self.down_proj_quantize(act, tokens_per_expert)
+        w_down = jnp.swapaxes(self.down_proj_weight, 1, 2)  # (E, I, H) int8
+        out = jax.lax.ragged_dot(
+            y_int8, w_down, group_sizes=gs, preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+        out = out * y_scale.astype(jnp.float32) * self.down_proj_weight_scale[gid].astype(jnp.float32)
+        return out.astype(dtype)
 
 
 class XlaMoE(MojoMoE):

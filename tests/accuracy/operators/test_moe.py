@@ -170,6 +170,31 @@ def test_quant_experts_w8_and_w4():
         assert np.isfinite(np.asarray(out, np.float32)).all()
 
 
+def test_quant_experts_xla_jittable_matches_ref():
+    """XlaQuantExperts (int8 ragged_dot, jittable) vs the eager golden
+    loop for w8a8 per-channel scales."""
+    E, H, I = 4, 64, 64
+    rng = np.random.default_rng(0)
+    ref = m.MojoQuantExperts.get_backend_impl("ref")(E, H, I)
+    xla = m.MojoQuantExperts.get_backend_impl("xla")(E, H, I)
+    w_up = jnp.asarray(rng.integers(-127, 128, (E, 2 * I, H)), jnp.int8)
+    w_down = jnp.asarray(rng.integers(-127, 128, (E, H, I)), jnp.int8)
+    us = jnp.asarray(rng.uniform(0.001, 0.01, (E, 2 * I)), jnp.bfloat16)
+    ds = jnp.asarray(rng.uniform(0.001, 0.01, (E, H)), jnp.bfloat16)
+    for op in (ref, xla):
+        op.up_proj_weight = w_up
+        op.down_proj_weight = w_down
+        op.up_proj_weight_scale = us
+        op.down_proj_weight_scale = ds
+    x = randn(1, (12, H))
+    tpe = jnp.array([3, 0, 5, 4], jnp.int32)
+    o_ref = ref(x, tpe)
+    o_xla = jax.jit(lambda a, t: xla(a, t))(x, tpe)  # must be jittable
+    np.testing.assert_allclose(
+        np.asarray(o_xla), np.asarray(o_ref), atol=2e-2, rtol=2e-2
+    )
+
+
 def test_unpack_int4_roundtrip():
     rng = np.random.default_rng(1)
     vals = rng.integers(-8, 8, (6, 4)).astype(np.int8)

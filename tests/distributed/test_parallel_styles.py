@@ -102,3 +102,53 @@ def test_shard_model_rules_and_checkpoint_roundtrip():
         assert hook("a.weight") == "a.weight@tp1"
     print("OK")
     """)
+
+
+def test_tp_generation_fused_matches_single_device():
+    """TP-sharded serving smoke test: prefill + fused multi-step greedy
+    decode over a 4-way tensor-parallel mesh must produce the same tokens
+    as the unsharded model (reference has no TP-serving test; this guards
+    the sharded KV-cache + FusedDecode path)."""
+    run_distributed("""
+    from mojo_opset_tpu.modeling.qwen3 import Qwen3Config, Qwen3ForCausalLM
+    from mojo_opset_tpu.parallel import (
+        MojoQKVColwiseParallel, MojoTensorParallel, mojo_parallelize_module,
+    )
+    from mojo_opset_tpu.runtime import (
+        GreedySampler, MojoGenerator, PagedAttentionGenerationModel,
+    )
+
+    class Tok:
+        eos_token_id = -1
+
+    cfg = Qwen3Config(hidden_size=64, intermediate_size=128, num_attention_heads=8,
+                      num_key_value_heads=4, num_hidden_layers=2, head_dim=16,
+                      vocab_size=128, max_position_embeddings=128, dtype=jnp.float32)
+    model = Qwen3ForCausalLM(cfg, key=jax.random.PRNGKey(7))
+    ids = np.array([1, 2, 3, 4, 5, 9, 8], np.int32)
+    lens = np.array([5, 2], np.int32)
+
+    gm0 = PagedAttentionGenerationModel(model, block_size=16, jit=False)
+    gen0 = MojoGenerator(gm0, Tok(), GreedySampler(), max_new_tokens=6)
+    want = gen0.generate_from_ids(ids, lens, ignore_eos=True, silent=True)
+
+    n = 4
+    mesh = Mesh(np.array(jax.devices()[:n]), ("tp",))
+    plan = {
+        "self_attn": MojoQKVColwiseParallel(num_heads=8, num_kv_heads=4),
+        "mlp": MojoTensorParallel(),
+    }
+    ctx = jax.sharding.use_mesh(mesh) if hasattr(jax.sharding, "use_mesh") else mesh
+    with ctx:
+        sharded = mojo_parallelize_module(model, mesh, plan)
+        gm = PagedAttentionGenerationModel(sharded, block_size=16)
+        gen = MojoGenerator(gm, Tok(), GreedySampler(), max_new_tokens=6)
+        got_fused = gen.generate_from_ids(ids, lens, ignore_eos=True, fused_decode=True)
+        gm2 = PagedAttentionGenerationModel(sharded, block_size=16)
+        gen2 = MojoGenerator(gm2, Tok(), GreedySampler(), max_new_tokens=6)
+        got_step = gen2.generate_from_ids(ids, lens, ignore_eos=True, silent=True)
+
+    np.testing.assert_array_equal(np.asarray(got_step), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(got_fused), np.asarray(want))
+    print("OK")
+    """, timeout=600)
