@@ -25,13 +25,15 @@ BASELINE_PAGED_DECODE_US = 75.13  # tests/perf/benchmark.md:13 (NPU 910B, TTX)
 
 
 def _time_fn(fn, *args, iters=50, warmup=5):
+    from mojo_opset_tpu.benchmark import device_sync
+
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    device_sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    device_sync(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -95,14 +97,16 @@ def bench_qwen3_decode_tokens_per_sec():
 
     fused = FusedDecode(model, sample_method="greedy")
     steps = 64
+    from mojo_opset_tpu.benchmark import device_sync
+
     for _ in range(2):  # compile + one warm run (post-compile caches settle)
         toks = fused(session, tok, steps)
-        jax.block_until_ready(toks)
+        device_sync(toks)
         tok = toks[-1]
 
     t0 = time.perf_counter()
     toks = fused(session, tok, steps)
-    jax.block_until_ready(toks)
+    device_sync(toks)
     dt = time.perf_counter() - t0
     return B * steps / dt, cfg
 

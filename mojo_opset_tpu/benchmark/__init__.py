@@ -1,1 +1,1 @@
-from mojo_opset_tpu.benchmark.timing import device_time_us
+from mojo_opset_tpu.benchmark.timing import device_sync, device_time_us

@@ -24,7 +24,7 @@ from mojo_opset_tpu.benchmark.api import (
     PerfSpec,
     discover_perf_specs,
 )
-from mojo_opset_tpu.benchmark.timing import device_time_us
+from mojo_opset_tpu.benchmark.timing import device_sync, device_time_us
 from mojo_opset_tpu.core.registry import BackendNotAvailable
 from mojo_opset_tpu.utils.logging import get_logger, log_table
 
@@ -68,7 +68,7 @@ def run_case(spec: PerfSpec, provider: str, case, iters: int = 16) -> Optional[d
 
     # correctness guard: one eager call
     out = fn(*args)
-    jax.block_until_ready(jax.tree_util.tree_leaves(out))
+    device_sync(out)
 
     us = device_time_us(fn, *args, iters=iters)
     rec = {

@@ -1,10 +1,12 @@
 """Device-side op timing.
 
-Host-side wall-clock through the axon tunnel has a ~30-40us dispatch
-floor, so per-op latencies are measured by chaining invocations inside a
-jitted ``lax.scan`` (a data dependency between iterations stops XLA from
-overlapping or eliminating them).  Fixed costs (dispatch, scan setup) are
-cancelled by timing two chain lengths and dividing the difference:
+Host-side wall-clock through the axon tunnel has a large, jittery
+dispatch floor, so per-op latencies are measured by chaining invocations
+inside a jitted ``lax.fori_loop`` (a data dependency between iterations
+stops XLA from overlapping or eliminating them). The trip count is a
+RUNTIME argument, so the whole search compiles exactly once per op.
+Fixed costs (dispatch, loop setup, result-fetch RTT) are cancelled by
+timing two chain lengths and dividing the difference:
 
     per_call = (T(2n) - T(n)) / n        with min-of-k repeats per length
 
@@ -19,60 +21,97 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
-def _chain(fn, args, length):
-    # Inputs enter as REAL jit arguments, never closure constants: baked-in
-    # constants (a) blow up the remote-compile payload for big operands and
-    # (b) would let XLA constant-fold the op under test.
+def device_sync(tree):
+    """Barrier that really waits for device execution.
+
+    ``jax.block_until_ready`` is NOT a reliable barrier on the axon
+    (tunneled TPU) platform: unless a host fetch has flushed the execution
+    queue it returns immediately. Fetching one element per leaf forces the
+    producing program to finish (TPU programs complete as a unit) while
+    moving only a few bytes over the tunnel.
+    """
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "ravel"):
+            np.asarray(leaf.ravel()[0])
+    return tree
+
+
+def _make_runner(fn, args):
+    """One jitted chain with a runtime trip count.
+
+    Inputs enter as REAL jit arguments, never closure constants: baked-in
+    constants (a) blow up the remote-compile payload for big operands and
+    (b) would let XLA constant-fold the op under test.
+    """
+
     @jax.jit
-    def run(a0, *rest):
-        def body(carry, _):
-            out = fn(a0 + carry, *rest)
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            # Data-dependent carry that is zero at runtime but NOT provably
-            # zero to XLA (a scaled-constant carry underflows in bf16 and
-            # the whole body gets hoisted out of the scan).
-            flag = jnp.isnan(leaf.ravel()[0].astype(jnp.float32))
-            next_carry = jnp.where(flag, 1.0, 0.0).astype(a0.dtype)
-            return next_carry, ()
+    def run(n, a0, *rest):
+        def body(_i, carry):
+            out = fn(a0 + (carry * 1e-30).astype(a0.dtype), *rest)
+            # Three XLA rewrites will silently elide the op under test if
+            # the carry is not constructed carefully (all three observed on
+            # XLA:TPU):
+            #   1. carry keyed on out[0,0]  -> slice-of-dot shrinks a matmul
+            #      to a single row-col dot;
+            #   2. carry = sum(out)         -> sum(A@B) refactored to
+            #      colsum(A)@rowsum(B), dot eliminated;
+            #   3. carry = where(isnan(tot),1,0) -> compare(x,x,NE) folded
+            #      to false under no-NaN fast math, carry becomes constant,
+            #      loop body goes dead.
+            # So: reduce EVERY output element through abs (non-factorable),
+            # ACCUMULATE into an f32 carry (never provably constant), and
+            # feed it back at 1e-30 scale (representable in bf16, perturbs
+            # inputs by ~1e-30 — harmless for timing, opaque to the
+            # simplifier).
+            tot = sum(
+                jnp.sum(jnp.abs(leaf.astype(jnp.float32)))
+                for leaf in jax.tree_util.tree_leaves(out)
+                if hasattr(leaf, "astype")
+            )
+            return carry + tot * 1e-9
 
-        carry, _ = jax.lax.scan(body, jnp.zeros((), a0.dtype), None, length=length)
-        return carry
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
 
-    return lambda: run(*args)
+    return lambda n: run(jnp.int32(n), *args)
 
 
 def device_time_us(
     fn: Callable, *args, iters: int = 20, repeats: int = 6, warmup: int = 2,
-    max_iters: int = 512,
+    max_iters: int = 8192, time_budget_s: float = 1.0,
 ) -> float:
     """Average device time per call of fn(*args), in microseconds.
 
-    The per-dispatch floor through the axon tunnel is ~3.5 ms with ~1 ms
-    of jitter, so a fixed chain length drowns microsecond ops in floor
-    noise. The chain length doubles until the doubled chain costs at
-    least 1.8x the single one — i.e. the marginal per-call cost clearly
-    dominates the floor — before trusting (T(2n)-T(n))/n.
+    A fixed chain length drowns microsecond ops in the dispatch floor, so
+    the chain length doubles until either (a) the doubled chain costs at
+    least 1.8x the single one — the marginal per-call cost clearly
+    dominates the floor — or (b) the chain itself exceeds ``time_budget_s``
+    (at which point the floor is <3% of the measurement anyway).
     """
+    runner = _make_runner(fn, args)
 
-    def best(run):
+    def best(n):
+        # Sync via a host fetch of the scalar carry (see device_sync on why
+        # block_until_ready is not a barrier here). The fetch RTT is fixed
+        # and cancels in the two-length difference.
         for _ in range(warmup):
-            jax.block_until_ready(run())
+            np.asarray(runner(n))
         t_best = float("inf")
         for _ in range(repeats):
             t0 = time.perf_counter()
-            jax.block_until_ready(run())
+            np.asarray(runner(n))
             t_best = min(t_best, time.perf_counter() - t0)
         return t_best
 
     n = max(1, iters)
     per_call = 0.0
     while True:
-        t_n = best(_chain(fn, args, n))
-        t_2n = best(_chain(fn, args, 2 * n))
+        t_n = best(n)
+        t_2n = best(2 * n)
         per_call = (t_2n - t_n) / n
-        if per_call > 0 and t_2n >= 1.8 * t_n:
+        if per_call > 0 and (t_2n >= 1.8 * t_n or t_n > time_budget_s):
             break
         if 2 * n >= max_iters:
             break

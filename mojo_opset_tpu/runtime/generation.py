@@ -4,7 +4,9 @@ Parity: reference mojo_opset/runtime/generation.py:15-373
 (MojoSession/MojoSampler ABCs :15-23, GeneratorHook :26, PerfHook :34,
 DumpHook :93, MojoGenerator :109, PerfMojoGenerator :284).
 
-TPU notes: device sync is ``jax.block_until_ready``; the typewriter
+TPU notes: device sync is a scalar host fetch (``device_sync`` — see
+benchmark/timing.py; block_until_ready does not reliably wait on the
+tunneled-TPU platform); the typewriter
 streams through a daemon thread (tokenizer decode off the hot loop); the
 device-graph pool maps to jitted step executables (compile_cache.py).
 Sampling consumes an explicit PRNG key chain held by the generator.
@@ -79,7 +81,9 @@ class PerfHook(GeneratorHook):
 
     def _sync(self, x=None):
         if x is not None:
-            jax.block_until_ready(x)
+            from mojo_opset_tpu.benchmark.timing import device_sync
+
+            device_sync(x)
 
     def before_prefill(self, *, input_ids, context_input_len):
         self._batch_size = int(np.asarray(context_input_len).shape[0])
@@ -87,7 +91,7 @@ class PerfHook(GeneratorHook):
         self._prefill_start = time.perf_counter()
 
     def after_prefill(self, *, logits, session):
-        jax.block_until_ready(logits)
+        self._sync(logits)
         self._prefill_ms = (time.perf_counter() - self._prefill_start) * 1000
 
     def before_decode(self):
@@ -98,7 +102,7 @@ class PerfHook(GeneratorHook):
 
     def after_decode(self, *, decode_steps, generated_ids):
         if self._last is not None:
-            jax.block_until_ready(self._last)
+            self._sync(self._last)
         decode_total_ms = (time.perf_counter() - self._decode_start) * 1000
         decode_avg_ms = decode_total_ms / decode_steps if decode_steps > 0 else 0
         throughput = self._batch_size / (decode_avg_ms / 1000) if decode_avg_ms > 0 else 0
@@ -362,13 +366,15 @@ class PerfMojoGenerator(MojoGenerator):
         tok = jnp.argmax(logits, -1).astype(jnp.int32)
         steps = self.max_new_tokens
         fused = FusedDecode(self.model.model, sample_method="greedy")
+        from mojo_opset_tpu.benchmark.timing import device_sync
+
         for _ in range(2):  # compile + settle
             toks = fused(session, tok, steps)
-            jax.block_until_ready(toks)
+            device_sync(toks)
             tok = toks[-1]
         t0 = time.perf_counter()
         toks = fused(session, tok, steps)
-        jax.block_until_ready(toks)
+        device_sync(toks)
         dt = time.perf_counter() - t0
         return {
             "batch_size": batch_size, "decode_steps": steps,
