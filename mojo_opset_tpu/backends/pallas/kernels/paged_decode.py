@@ -31,13 +31,13 @@ def _decode_kernel(
     block_tables_ref,  # (B, S*P) int32 SMEM
     # inputs
     q_ref,  # (Hkv, group_pad, D) VMEM
-    k_hbm,  # (N, Hkv, bs, D) ANY/HBM
-    v_hbm,  # (N, Hkv, bs, D) ANY/HBM
+    k_hbm,  # (N, Hkv, bs, D) HND / (N, bs, Hkv, D) NHD — ANY/HBM
+    v_hbm,  # same layout as k_hbm
     # outputs
     o_ref,  # (Hkv, group_pad, D) VMEM
     # scratch
-    kbuf,  # (2, Hkv, P*bs, D) VMEM
-    vbuf,  # (2, Hkv, P*bs, D) VMEM
+    kbuf,  # (2, Hkv, P*bs, D) HND / (2, P*bs, Hkv, D) NHD — VMEM
+    vbuf,  # same layout as kbuf
     sems,  # DMA sems (2, 2, P)
     m_ref,  # (Hkv*group_pad, 128) f32
     l_ref,  # (Hkv*group_pad, 128) f32
@@ -48,6 +48,7 @@ def _decode_kernel(
     scale: float,
     num_kv_heads: int,
     group_pad: int,
+    kv_layout: str,
 ):
     b = pl.program_id(0)
     s = pl.program_id(1)
@@ -64,12 +65,14 @@ def _decode_kernel(
             def _():
                 blk = block_tables_ref[b, super_idx * P + p]
                 blk = jnp.where(blk < 0, 0, blk)
-                pltpu.make_async_copy(
-                    k_hbm.at[blk], kbuf.at[slot, :, pl.ds(p * bs, bs), :], sems.at[slot, 0, p]
-                ).start()
-                pltpu.make_async_copy(
-                    v_hbm.at[blk], vbuf.at[slot, :, pl.ds(p * bs, bs), :], sems.at[slot, 1, p]
-                ).start()
+                if kv_layout == "HND":
+                    kdst = kbuf.at[slot, :, pl.ds(p * bs, bs), :]
+                    vdst = vbuf.at[slot, :, pl.ds(p * bs, bs), :]
+                else:  # NHD: page (bs, Hkv, D) -> rows p*bs..+bs of the slab
+                    kdst = kbuf.at[slot, pl.ds(p * bs, bs), :, :]
+                    vdst = vbuf.at[slot, pl.ds(p * bs, bs), :, :]
+                pltpu.make_async_copy(k_hbm.at[blk], kdst, sems.at[slot, 0, p]).start()
+                pltpu.make_async_copy(v_hbm.at[blk], vdst, sems.at[slot, 1, p]).start()
 
     def wait_fetch(super_idx, slot):
         for p in range(P):
@@ -77,12 +80,14 @@ def _decode_kernel(
 
             @pl.when(page_pos < seq_len)
             def _():
-                pltpu.make_async_copy(
-                    k_hbm.at[0], kbuf.at[slot, :, pl.ds(p * bs, bs), :], sems.at[slot, 0, p]
-                ).wait()
-                pltpu.make_async_copy(
-                    v_hbm.at[0], vbuf.at[slot, :, pl.ds(p * bs, bs), :], sems.at[slot, 1, p]
-                ).wait()
+                if kv_layout == "HND":
+                    kdst = kbuf.at[slot, :, pl.ds(p * bs, bs), :]
+                    vdst = vbuf.at[slot, :, pl.ds(p * bs, bs), :]
+                else:
+                    kdst = kbuf.at[slot, pl.ds(p * bs, bs), :, :]
+                    vdst = vbuf.at[slot, pl.ds(p * bs, bs), :, :]
+                pltpu.make_async_copy(k_hbm.at[0], kdst, sems.at[slot, 0, p]).wait()
+                pltpu.make_async_copy(v_hbm.at[0], vdst, sems.at[slot, 1, p]).wait()
 
     @pl.when(s == 0)
     def _init():
@@ -113,7 +118,10 @@ def _decode_kernel(
         ) < seq_len
         for h in range(num_kv_heads):
             q = q_ref[h].astype(jnp.float32) * scale  # (G, D)
-            k = kbuf[slot, h].astype(jnp.float32)  # (P*bs, D)
+            if kv_layout == "HND":
+                k = kbuf[slot, h].astype(jnp.float32)  # (P*bs, D)
+            else:
+                k = kbuf[slot, :, h, :].astype(jnp.float32)  # (P*bs, D)
             sc = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )  # (G, P*bs)
@@ -126,7 +134,8 @@ def _decode_kernel(
             p_ = jnp.exp(sc - m_new)
             p_ = jnp.where(valid, p_, 0.0)
             l_new = l_ref[rows, 0:1] * alpha + jnp.sum(p_, axis=-1, keepdims=True)
-            v = jnp.where(col_valid, vbuf[slot, h].astype(jnp.float32), 0.0)
+            vh = vbuf[slot, h] if kv_layout == "HND" else vbuf[slot, :, h, :]
+            v = jnp.where(col_valid, vh.astype(jnp.float32), 0.0)
             pv = jax.lax.dot_general(
                 p_, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
             )
@@ -146,7 +155,7 @@ def _decode_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("softmax_scale", "gqa_layout", "pages_per_fetch", "interpret"),
+    static_argnames=("softmax_scale", "gqa_layout", "pages_per_fetch", "interpret", "kv_layout"),
 )
 def paged_decode_gqa(
     query: jax.Array,  # (B, Hq, D)
@@ -158,9 +167,13 @@ def paged_decode_gqa(
     gqa_layout: str = "AABB",
     pages_per_fetch: int = 8,
     interpret: bool = False,
+    kv_layout: str = "HND",
 ) -> jax.Array:
     B, Hq, D = query.shape
-    N, Hkv, bs, _ = key_cache.shape
+    if kv_layout == "HND":
+        N, Hkv, bs, _ = key_cache.shape
+    else:
+        N, bs, Hkv, _ = key_cache.shape
     NB = block_tables.shape[1]
     group = Hq // Hkv
     if softmax_scale is None:
@@ -196,8 +209,8 @@ def paged_decode_gqa(
         ],
         out_specs=pl.BlockSpec((None, Hkv, group_pad, D), q_index),
         scratch_shapes=[
-            pltpu.VMEM((2, Hkv, P * bs, D), key_cache.dtype),
-            pltpu.VMEM((2, Hkv, P * bs, D), value_cache.dtype),
+            pltpu.VMEM((2, Hkv, P * bs, D) if kv_layout == "HND" else (2, P * bs, Hkv, D), key_cache.dtype),
+            pltpu.VMEM((2, Hkv, P * bs, D) if kv_layout == "HND" else (2, P * bs, Hkv, D), value_cache.dtype),
             pltpu.SemaphoreType.DMA((2, 2, P)),
             pltpu.VMEM((Hkv * group_pad, 128), jnp.float32),
             pltpu.VMEM((Hkv * group_pad, 128), jnp.float32),
@@ -213,6 +226,7 @@ def paged_decode_gqa(
             scale=softmax_scale,
             num_kv_heads=Hkv,
             group_pad=group_pad,
+            kv_layout=kv_layout,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, group_pad, D), query.dtype),

@@ -68,7 +68,7 @@ class PallasPagedDecodeGQA(MojoPagedDecodeGQA):
         return paged_decode_gqa(
             query, key_cache, value_cache, total_seq_lens, block_tables,
             softmax_scale=softmax_scale, gqa_layout=self.gqa_layout,
-            interpret=interpret,
+            interpret=interpret, kv_layout=self.kv_layout,
         )
 
 
@@ -105,7 +105,7 @@ class PallasPagedPrefillGQA(MojoPagedPrefillGQA):
             query, key_cache, value_cache, cu_q_lens, block_tables,
             kv_lens.astype(jnp.int32),
             softmax_scale=softmax_scale, gqa_layout=self.gqa_layout,
-            interpret=interpret,
+            interpret=interpret, kv_layout=self.kv_layout,
         )
 
 

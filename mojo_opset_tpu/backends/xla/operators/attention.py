@@ -36,9 +36,12 @@ def _paged_prefill_flash(
     kv_lens,  # (B,)
     q_abs,  # (T,) absolute kv position of each query row (causal bound)
     gqa_layout: str,
+    kv_layout: str = "HND",
 ):
+    from mojo_opset_tpu.core.operators.attention import paged_cache_dims
+
     T, Hq, D = query.shape
-    _, Hkv, bs, _ = key_cache.shape
+    _, Hkv, bs, _ = paged_cache_dims(key_cache, kv_layout)
     group = Hq // Hkv
     B, NB = block_tables.shape
 
@@ -55,8 +58,11 @@ def _paged_prefill_flash(
         # Each token reads logical block `logical_block` of its own batch.
         phys = block_tables[token_batch, logical_block]  # (T,)
         safe = jnp.clip(phys, 0, key_cache.shape[0] - 1)
-        k_blk = key_cache[safe]  # (T, Hkv, bs, D)
+        k_blk = key_cache[safe]
         v_blk = value_cache[safe]
+        if kv_layout == "NHD":  # (T, bs, Hkv, D) -> (T, Hkv, bs, D)
+            k_blk = jnp.swapaxes(k_blk, 1, 2)
+            v_blk = jnp.swapaxes(v_blk, 1, 2)
         k_blk = expand_gqa(k_blk, group, gqa_layout, head_axis=1)  # (T, Hq, bs, D)
         v_blk = expand_gqa(v_blk, group, gqa_layout, head_axis=1)
 
@@ -122,7 +128,7 @@ class XlaPagedPrefillGQA(MojoPagedPrefillGQA):
 
         return _paged_prefill_flash(
             query, key_cache, value_cache, cu_q_lens, block_tables,
-            softmax_scale, kv_lens, q_abs, self.gqa_layout,
+            softmax_scale, kv_lens, q_abs, self.gqa_layout, self.kv_layout,
         )
 
 

@@ -67,16 +67,45 @@ def expand_gqa(kv: jax.Array, group: int, layout: str, head_axis: int) -> jax.Ar
     return jnp.tile(kv, reps)
 
 
-def gather_paged_kv(cache: jax.Array, block_tables: jax.Array) -> jax.Array:
+KV_LAYOUTS = ("HND", "NHD")
+
+
+def paged_cache_dims(cache: jax.Array, kv_layout: str = "HND"):
+    """Normalize paged-cache dims to ``(N_blocks, Hkv, block_size, D)``.
+
+    Two physical layouts are supported:
+
+    - ``"HND"`` — ``(N_blocks, Hkv, block_size, D)``: the reference
+      contract (reference core/operators/attention.py:12-37).
+    - ``"NHD"`` — ``(N_blocks, block_size, Hkv, D)``: the TPU-native
+      runtime layout. Token rows are contiguous, so the decode-store
+      scatter hits only the two leading dims and XLA keeps the update
+      in place inside jitted loops; the reference layout's scatter
+      across a middle dim forces a full-cache copy per step (measured:
+      48 x 67 MB copies per decode step on an 8-layer model).
+    """
+    if kv_layout == "HND":
+        n, hkv, bs, d = cache.shape
+    elif kv_layout == "NHD":
+        n, bs, hkv, d = cache.shape
+    else:
+        raise ValueError(f"kv_layout must be one of {KV_LAYOUTS}, got {kv_layout}")
+    return n, hkv, bs, d
+
+
+def gather_paged_kv(
+    cache: jax.Array, block_tables: jax.Array, kv_layout: str = "HND"
+) -> jax.Array:
     """Gather a paged cache into dense per-sequence KV.
 
-    cache ``(N_blocks, Hkv, bs, D)`` + block_tables ``(B, NB)`` ->
-    ``(B, NB*bs, Hkv, D)`` (invalid block ids are clamped; callers mask by
-    sequence length).
+    cache (``HND`` or ``NHD`` layout, see :func:`paged_cache_dims`) +
+    block_tables ``(B, NB)`` -> ``(B, NB*bs, Hkv, D)`` (invalid block ids
+    are clamped; callers mask by sequence length).
     """
     bt = jnp.clip(block_tables, 0, cache.shape[0] - 1)
-    gathered = cache[bt]  # (B, NB, Hkv, bs, D)
-    gathered = jnp.swapaxes(gathered, 2, 3)  # (B, NB, bs, Hkv, D)
+    gathered = cache[bt]  # (B, NB, ...) in cache layout
+    if kv_layout == "HND":
+        gathered = jnp.swapaxes(gathered, 2, 3)  # (B, NB, bs, Hkv, D)
     b, nb, bs, hkv, d = gathered.shape
     return gathered.reshape(b, nb * bs, hkv, d)
 
@@ -170,12 +199,17 @@ class MojoPagedDecodeGQA(MojoOperator):
     """Paged decode GQA over a blocked KV cache.
     Reference attention.py:113-232."""
 
-    def __init__(self, is_causal: bool = True, gqa_layout: str = "AABB"):
+    def __init__(
+        self, is_causal: bool = True, gqa_layout: str = "AABB", kv_layout: str = "HND"
+    ):
         super().__init__()
         if gqa_layout not in ("ABAB", "AABB"):
             raise ValueError(f"gqa_layout must be one of ['ABAB', 'AABB'], got {gqa_layout}")
+        if kv_layout not in KV_LAYOUTS:
+            raise ValueError(f"kv_layout must be one of {KV_LAYOUTS}, got {kv_layout}")
         self.is_causal = is_causal
         self.gqa_layout = gqa_layout
+        self.kv_layout = kv_layout
 
     def forward(
         self,
@@ -191,13 +225,13 @@ class MojoPagedDecodeGQA(MojoOperator):
     ) -> jax.Array:
         assert_paged_decode_contract(block_tables, total_seq_lens)
         B, Hq, D = query.shape
-        _, Hkv, block_size, _ = key_cache.shape
+        _, Hkv, block_size, _ = paged_cache_dims(key_cache, self.kv_layout)
         group = Hq // Hkv
         if softmax_scale is None:
             softmax_scale = 1.0 / math.sqrt(D)
 
-        k = gather_paged_kv(key_cache, block_tables)  # (B, K, Hkv, D)
-        v = gather_paged_kv(value_cache, block_tables)
+        k = gather_paged_kv(key_cache, block_tables, self.kv_layout)  # (B, K, Hkv, D)
+        v = gather_paged_kv(value_cache, block_tables, self.kv_layout)
         k = expand_gqa(k, group, self.gqa_layout, head_axis=2)
         v = expand_gqa(v, group, self.gqa_layout, head_axis=2)
         K = k.shape[1]
@@ -270,12 +304,17 @@ class MojoPagedPrefillGQA(MojoOperator):
     Supports chunked prefill via ``cu_total_seq_lens`` and custom masks.
     Reference attention.py:315-451."""
 
-    def __init__(self, is_causal: bool = True, gqa_layout: str = "AABB"):
+    def __init__(
+        self, is_causal: bool = True, gqa_layout: str = "AABB", kv_layout: str = "HND"
+    ):
         super().__init__()
         if gqa_layout not in ("ABAB", "AABB"):
             raise ValueError(f"gqa_layout must be one of ['ABAB', 'AABB'], got {gqa_layout}")
+        if kv_layout not in KV_LAYOUTS:
+            raise ValueError(f"kv_layout must be one of {KV_LAYOUTS}, got {kv_layout}")
         self.is_causal = is_causal
         self.gqa_layout = gqa_layout
+        self.kv_layout = kv_layout
 
     def forward(
         self,
@@ -292,7 +331,7 @@ class MojoPagedPrefillGQA(MojoOperator):
     ) -> jax.Array:
         assert_paged_prefill_contract(cu_q_lens, block_tables, cu_total_seq_lens)
         T, Hq, D = query.shape
-        _, Hkv, block_size, _ = key_cache.shape
+        _, Hkv, block_size, _ = paged_cache_dims(key_cache, self.kv_layout)
         group = Hq // Hkv
         if softmax_scale is None:
             softmax_scale = 1.0 / math.sqrt(D)
@@ -314,8 +353,8 @@ class MojoPagedPrefillGQA(MojoOperator):
         q_len_t = q_lens[token_batch]
         q_abs = kv_len_t - q_len_t + q_pos  # absolute kv position of each query row
 
-        k_all = gather_paged_kv(key_cache, block_tables)  # (B, K, Hkv, D)
-        v_all = gather_paged_kv(value_cache, block_tables)
+        k_all = gather_paged_kv(key_cache, block_tables, self.kv_layout)  # (B, K, Hkv, D)
+        v_all = gather_paged_kv(value_cache, block_tables, self.kv_layout)
         k_all = expand_gqa(k_all, group, self.gqa_layout, head_axis=2)
         v_all = expand_gqa(v_all, group, self.gqa_layout, head_axis=2)
         K = k_all.shape[1]
@@ -402,14 +441,18 @@ class _SWAConfigMixin:
         gqa_layout: str = "AABB",
         global_window_size: Optional[int] = None,
         local_window_size: Optional[int] = None,
+        kv_layout: str = "HND",
     ):
         super().__init__()
         if gqa_layout not in ("ABAB", "AABB"):
             raise ValueError(f"gqa_layout must be one of ['ABAB', 'AABB'], got {gqa_layout}")
+        if kv_layout not in KV_LAYOUTS:
+            raise ValueError(f"kv_layout must be one of {KV_LAYOUTS}, got {kv_layout}")
         self.is_causal = is_causal
         self.gqa_layout = gqa_layout
         self.global_window_size = global_window_size
         self.local_window_size = local_window_size
+        self.kv_layout = kv_layout
 
     def extra_repr(self) -> str:
         return (
@@ -438,7 +481,7 @@ class MojoPagedPrefillSWA(_SWAConfigMixin, MojoOperator):
     ) -> jax.Array:
         assert_paged_prefill_contract(cu_q_lens, block_table, cu_total_seq_lens)
         T, Hq, D = query.shape
-        _, Hkv, page_size, _ = key_cache.shape
+        _, Hkv, page_size, _ = paged_cache_dims(key_cache, self.kv_layout)
         group = Hq // Hkv
         if softmax_scale is None:
             softmax_scale = 1.0 / math.sqrt(D)
@@ -457,8 +500,8 @@ class MojoPagedPrefillSWA(_SWAConfigMixin, MojoOperator):
         kv_len_t = total_seq_lens[token_batch]
         q_abs = kv_len_t - q_lens[token_batch] + q_pos
 
-        k_all = expand_gqa(gather_paged_kv(key_cache, block_table), group, self.gqa_layout, 2)
-        v_all = expand_gqa(gather_paged_kv(value_cache, block_table), group, self.gqa_layout, 2)
+        k_all = expand_gqa(gather_paged_kv(key_cache, block_table, self.kv_layout), group, self.gqa_layout, 2)
+        v_all = expand_gqa(gather_paged_kv(value_cache, block_table, self.kv_layout), group, self.gqa_layout, 2)
         K = k_all.shape[1]
         k_t = k_all[token_batch]
         v_t = v_all[token_batch]
@@ -496,13 +539,13 @@ class MojoPagedDecodeSWA(_SWAConfigMixin, MojoOperator):
     ) -> jax.Array:
         assert_paged_decode_contract(block_table, total_seq_lens)
         B, Hq, D = query.shape
-        _, Hkv, page_size, _ = key_cache.shape
+        _, Hkv, page_size, _ = paged_cache_dims(key_cache, self.kv_layout)
         group = Hq // Hkv
         if softmax_scale is None:
             softmax_scale = 1.0 / math.sqrt(D)
 
-        k = expand_gqa(gather_paged_kv(key_cache, block_table), group, self.gqa_layout, 2)
-        v = expand_gqa(gather_paged_kv(value_cache, block_table), group, self.gqa_layout, 2)
+        k = expand_gqa(gather_paged_kv(key_cache, block_table, self.kv_layout), group, self.gqa_layout, 2)
+        v = expand_gqa(gather_paged_kv(value_cache, block_table, self.kv_layout), group, self.gqa_layout, 2)
         K = k.shape[1]
 
         scores = jnp.einsum("bhd,bkhd->bhk", query.astype(jnp.float32), k.astype(jnp.float32))

@@ -123,7 +123,24 @@ class MojoStorePagedKVCache(MojoOperator):
     Accepts either the legacy ``(block_table, cu_q_lens, context_kv_lens)``
     triple (jittable, per-token vectorized scatter) or a precomputed
     ``chunk_metadata`` plan (reference kv_cache.py:120 contract).
+
+    ``kv_layout``: "HND" = reference cache layout (N, Hkv, bs, D); "NHD" =
+    TPU-native (N, bs, Hkv, D) — token rows contiguous, so the scatter hits
+    only leading dims and XLA keeps donated caches in place under jit (the
+    HND scatter across the middle dim copies the whole cache per call
+    inside jitted loops).
     """
+
+    def __init__(self, kv_layout: str = "HND", **kwargs):
+        super().__init__(**kwargs)
+        from mojo_opset_tpu.core.operators.attention import KV_LAYOUTS
+
+        if kv_layout not in KV_LAYOUTS:
+            raise ValueError(f"kv_layout must be one of {KV_LAYOUTS}, got {kv_layout}")
+        self.kv_layout = kv_layout
+
+    def extra_repr(self) -> str:
+        return f"kv_layout={self.kv_layout}"
 
     def forward(
         self,
@@ -140,11 +157,12 @@ class MojoStorePagedKVCache(MojoOperator):
         assert key_states.ndim == 3 and value_states.ndim == 3 and key_states.shape == value_states.shape, (
             "key/value states must be (token_num, kv_head_num, head_dim), please check."
         )
+        block_size = key_cache.shape[2] if self.kv_layout == "HND" else key_cache.shape[1]
         if chunk_metadata is None:
             assert block_table is not None, "block_table is required when chunk_metadata is not provided."
             assert context_kv_lens is not None, "context_kv_lens is required when chunk_metadata is not provided."
             dst_block, dst_offset = build_paged_kv_token_indices(
-                block_table, cu_q_lens, context_kv_lens, key_cache.shape[2], key_states.shape[0]
+                block_table, cu_q_lens, context_kv_lens, block_size, key_states.shape[0]
             )
         else:
             assert block_table is None and cu_q_lens is None and context_kv_lens is None, (
@@ -167,6 +185,16 @@ class MojoStorePagedKVCache(MojoOperator):
             dst_block = jnp.asarray(blk_list, jnp.int32)
             dst_offset = jnp.asarray(off_list, jnp.int32)
 
+        if self.kv_layout == "NHD":
+            # leading-dims scatter of contiguous (Hkv, D) token rows —
+            # in-place under jit (donated / loop-carried caches)
+            key_cache = key_cache.at[dst_block, dst_offset, :, :].set(
+                key_states.astype(key_cache.dtype), mode="drop", unique_indices=True
+            )
+            value_cache = value_cache.at[dst_block, dst_offset, :, :].set(
+                value_states.astype(value_cache.dtype), mode="drop", unique_indices=True
+            )
+            return key_cache, value_cache
         # (T, Hkv, D) -> cache[(dst_block, :, dst_offset, :)]
         key_cache = key_cache.at[dst_block, :, dst_offset, :].set(
             key_states.astype(key_cache.dtype), mode="drop"

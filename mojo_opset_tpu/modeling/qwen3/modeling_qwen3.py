@@ -50,6 +50,7 @@ class Qwen3Config:
     attention_bias: bool = False
     tie_word_embeddings: bool = False
     dtype: object = jnp.bfloat16
+    kv_layout: str = "NHD"  # TPU-native paged-cache layout (in-place stores)
 
     def to_mojo(self) -> MojoConfig:
         return MojoConfig(
@@ -68,6 +69,7 @@ class Qwen3Config:
                 rms_norm_eps=self.rms_norm_eps,
                 intermediate_size=self.intermediate_size,
                 tie_word_embeddings=self.tie_word_embeddings,
+                kv_layout=self.kv_layout,
             )
         )
 
@@ -89,9 +91,9 @@ class Qwen3Attention(Module):
         self.q_norm = MojoRMSNorm(D, eps=c.rms_norm_eps)
         self.k_norm = MojoRMSNorm(D, eps=c.rms_norm_eps)
         self.apply_rope = MojoApplyRoPE()
-        self.store_kv = MojoStorePagedKVCache()
-        self.attn_prefill = MojoPagedPrefillGQA(gqa_layout="AABB")
-        self.attn_decode = MojoPagedDecodeGQA(gqa_layout="AABB")
+        self.store_kv = MojoStorePagedKVCache(kv_layout=c.kv_layout)
+        self.attn_prefill = MojoPagedPrefillGQA(gqa_layout="AABB", kv_layout=c.kv_layout)
+        self.attn_decode = MojoPagedDecodeGQA(gqa_layout="AABB", kv_layout=c.kv_layout)
 
     def __call__(
         self,

@@ -47,6 +47,7 @@ class SeedOssConfig:
     residual_dropout: float = 0.1  # inference no-op
     tie_word_embeddings: bool = False
     dtype: object = jnp.bfloat16
+    kv_layout: str = "NHD"  # TPU-native paged-cache layout (in-place stores)
 
     def to_mojo(self) -> MojoConfig:
         return MojoConfig(
@@ -65,6 +66,7 @@ class SeedOssConfig:
                 rms_norm_eps=self.rms_norm_eps,
                 intermediate_size=self.intermediate_size,
                 has_attn_bias=self.attention_bias,
+                kv_layout=self.kv_layout,
             )
         )
 
@@ -82,9 +84,9 @@ class SeedOssAttention(Module):
         self.v_proj = MojoGemm(c.hidden_size, Hkv * D, bias=c.attention_bias, key=ks[2], dtype=c.dtype)
         self.o_proj = MojoGemm(H * D, c.hidden_size, bias=c.attention_out_bias, key=ks[3], dtype=c.dtype)
         self.rope = MojoApplyRoPE()
-        self.store_kv = MojoStorePagedKVCache()
-        self.attn_prefill = MojoPagedPrefillGQA(gqa_layout="AABB")
-        self.attn_decode = MojoPagedDecodeGQA(gqa_layout="AABB")
+        self.store_kv = MojoStorePagedKVCache(kv_layout=c.kv_layout)
+        self.attn_prefill = MojoPagedPrefillGQA(gqa_layout="AABB", kv_layout=c.kv_layout)
+        self.attn_decode = MojoPagedDecodeGQA(gqa_layout="AABB", kv_layout=c.kv_layout)
         self.scaling = D**-0.5
 
     def __call__(self, hidden, cos, sin, meta, caches, layer_idx):

@@ -49,6 +49,11 @@ class MojoModelConfig:
     kv_mirror_layers: List[int] = field(default_factory=list)
     kv_mirror_imitated_layers: List[int] = field(default_factory=list)
 
+    # paged-cache physical layout: "NHD" (N, bs, Hkv, D) is the TPU-native
+    # in-place-update layout; "HND" (N, Hkv, bs, D) is the reference shape
+    # (see core/operators/attention.py paged_cache_dims)
+    kv_layout: str = "NHD"
+
     rope_theta: float = 10000.0
     rope_mode: str = ""
     rope_scale: int = 1

@@ -180,7 +180,12 @@ class PagedAttentionRuntimeState:
         except Exception:
             self._native = None
 
-        cache_shape = (total_blocks, self.num_kv_heads, block_size, self.head_dim)
+        self.kv_layout = getattr(mc, "kv_layout", "HND") or "HND"
+        if self.kv_layout == "NHD":
+            # TPU-native layout: token rows contiguous -> in-place stores
+            cache_shape = (total_blocks, block_size, self.num_kv_heads, self.head_dim)
+        else:
+            cache_shape = (total_blocks, self.num_kv_heads, block_size, self.head_dim)
         self.caches = KVCaches.create(
             self.num_layers,
             cache_shape,
