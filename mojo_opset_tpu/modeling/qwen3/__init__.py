@@ -7,6 +7,7 @@ from mojo_opset_tpu.modeling.qwen3.modeling_qwen3 import (
     Qwen3Model,
 )
 from mojo_opset_tpu.modeling.qwen3.modeling_qwen3_moe import (
+    MojoQwen3MoeBlock,
     Qwen3MoeConfig,
     Qwen3MoeDecoderLayer,
     Qwen3MoeForCausalLM,

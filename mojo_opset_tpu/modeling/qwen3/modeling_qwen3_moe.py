@@ -22,7 +22,17 @@ from mojo_opset_tpu.modeling.qwen3.modeling_qwen3 import (
     Qwen3ForCausalLM,
     Qwen3Model,
 )
-from mojo_opset_tpu.core.operators import MojoEmbedding, MojoGemm, MojoRMSNorm, MojoRotaryEmbedding
+from mojo_opset_tpu.core.operators import (
+    MojoEmbedding,
+    MojoGemm,
+    MojoGroupGemm,
+    MojoMoECombine,
+    MojoMoEDispatch,
+    MojoMoEGating,
+    MojoPrefillGQA,
+    MojoRMSNorm,
+    MojoRotaryEmbedding,
+)
 
 
 @dataclass
@@ -37,6 +47,74 @@ class Qwen3MoeConfig(Qwen3Config):
         cfg.model_config.moe_topk = self.num_experts_per_tok
         cfg.model_config.moe_ffn_internal_dim = self.moe_intermediate_size
         return cfg
+
+
+class MojoQwen3MoeBlock(Module):
+    """Toy composed MoE block exercising the decomposed MoE op chain
+    (embedding → qkv → norm → dense prefill GQA → norm → gating /
+    dispatch / GroupGemm experts / combine).
+
+    Parity: reference modeling/qwen3/mojo_qwen3_moe.py:12-51 — which is
+    partially bit-rotted there (imports `MojoNorm` / `mojo_opset.core.attn`
+    that no longer exist); this version is runnable and jittable.
+    """
+
+    def __init__(
+        self,
+        vocab_size: int = 10000,
+        hidden_size: int = 4096,
+        num_heads: int = 32,
+        head_dim: int = 128,
+        num_experts: int = 8,
+        top_k: int = 2,
+        key: Optional[jax.Array] = None,
+        dtype=jnp.bfloat16,
+    ):
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        k_embed, k_qkv, k_gate, k_gmm = jax.random.split(key, 4)
+        self.num_heads = num_heads
+        self.head_dim = head_dim
+        self.embedding = MojoEmbedding(vocab_size, hidden_size, key=k_embed, dtype=dtype)
+        self.qkv_proj = MojoGemm(hidden_size, num_heads * head_dim * 3, bias=True, key=k_qkv, dtype=dtype)
+        self.pre_norm = MojoRMSNorm(num_heads * head_dim * 3)
+        self.attn = MojoPrefillGQA()
+        self.post_norm = MojoRMSNorm(num_heads * head_dim)
+        self.moe_gate = MojoMoEGating(num_heads * head_dim, num_experts, top_k, key=k_gate)
+        self.moe_dispatch = MojoMoEDispatch(num_experts)
+        self.moe_gmm = MojoGroupGemm(
+            jax.random.normal(k_gmm, (num_experts, num_heads * head_dim, hidden_size), dtype)
+            * (num_heads * head_dim) ** -0.5
+        )
+        self.moe_combine = MojoMoECombine()
+
+    def __call__(self, input_ids: jax.Array) -> jax.Array:
+        B, S = input_ids.shape
+        hidden = self.embedding(input_ids)
+        qkv = self.qkv_proj(hidden)
+        qkv = self.pre_norm(qkv)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(x):  # (B,S,H*D) -> (B,H,S,D)
+            return x.reshape(B, S, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
+
+        cu_q_lens = jnp.arange(B + 1, dtype=jnp.int32) * S
+        attn = self.attn(heads(q), heads(k), heads(v), cu_q_lens)  # (B,S,Hq,D)
+        hidden = self.post_norm(attn.reshape(B, S, -1))
+
+        tokens = hidden.reshape(B * S, -1)
+        indices, gates = self.moe_gate(tokens)
+        sorted_hidden, tokens_per_expert, sorted_gates, token_indices = self.moe_dispatch(
+            tokens, gates, indices
+        )
+        expert_out = self.moe_gmm(sorted_hidden, tokens_per_expert)
+        out = self.moe_combine(
+            jnp.zeros((tokens.shape[0], expert_out.shape[-1]), expert_out.dtype),
+            expert_out,
+            sorted_gates,
+            token_indices,
+        )
+        return out.reshape(B, S, -1)
 
 
 class Qwen3MoeDecoderLayer(Module):

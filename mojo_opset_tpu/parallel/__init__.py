@@ -13,6 +13,7 @@ from mojo_opset_tpu.parallel.styles import (
     MojoExpertParallel,
     MojoParallelStyle,
     MojoQKVColwiseParallel,
+    MojoRegisterableParallelStyle,
     MojoRowwiseParallel,
     MojoSwiGLUParallel,
     MojoTensorParallel,

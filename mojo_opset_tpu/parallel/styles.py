@@ -209,6 +209,92 @@ class MojoExpertParallel(MojoParallelStyle):
         return P()
 
 
+class MojoRegisterableParallelStyle(MojoParallelStyle):
+    """ParallelStyle with a per-module-class dist-info registry.
+
+    Parity: reference mojo_parallel.py:33-144 — ``register_dist_info``
+    associates a module class with (partition_fn, prepare_input_fn,
+    prepare_output_fn, desired input/output layouts).  TPU re-design: the
+    partition_fn returns a resharded module pytree; prepare_* fns wrap the
+    call with ``jax.lax.with_sharding_constraint`` using the desired
+    layouts (GSPMD inserts the collectives DTensor ``redistribute`` ran
+    explicitly).  Each subclass gets its own independent registry, exactly
+    as the reference's ``__init_subclass__`` reset does.
+    """
+
+    dist_info_map: Dict[type, tuple] = {}
+
+    def __init_subclass__(cls, **kwargs):
+        super().__init_subclass__(**kwargs)
+        cls.dist_info_map = {}
+
+    @classmethod
+    def register_dist_info(
+        cls,
+        module_clses,
+        partition_fn=None,
+        prepare_input_fn=None,
+        prepare_output_fn=None,
+        desired_input_layouts=None,
+        desired_output_layouts=None,
+    ):
+        if not isinstance(module_clses, tuple):
+            module_clses = (module_clses,)
+        for module_cls in module_clses:
+            cls.dist_info_map[module_cls] = (
+                partition_fn,
+                prepare_input_fn,
+                prepare_output_fn,
+                desired_input_layouts,
+                desired_output_layouts,
+            )
+
+    @classmethod
+    def get_dist_info(cls, module_cls):
+        for klass in module_cls.__mro__:
+            if klass in cls.dist_info_map:
+                return cls.dist_info_map[klass]
+        return None
+
+    def apply(self, module, mesh: Mesh):
+        info = self.get_dist_info(type(module))
+        if info is None:
+            return super().apply(module, mesh)
+        partition_fn = info[0]
+        sharded = partition_fn(module, mesh) if partition_fn is not None else module
+        return _DistInfoWrapped(sharded, mesh, info)
+
+
+class _DistInfoWrapped:
+    """Callable wrapper applying registered prepare_input/output fns
+    around a module's forward (reference MojoDistributedModule.forward,
+    mojo_parallel.py:179-206)."""
+
+    def __init__(self, module, mesh, info):
+        self._mod = module
+        self._mesh = mesh
+        (_, self._prep_in, self._prep_out,
+         self._in_layouts, self._out_layouts) = info
+
+    def _constrain(self, value, layouts):
+        if layouts is None:
+            return value
+        return jax.lax.with_sharding_constraint(
+            value, NamedSharding(self._mesh, layouts))
+
+    def __call__(self, *args, **kwargs):
+        if self._prep_in is not None:
+            args, kwargs = self._prep_in(self._mesh, args, kwargs)
+        elif self._in_layouts is not None and args:
+            args = (self._constrain(args[0], self._in_layouts),) + args[1:]
+        out = self._mod(*args, **kwargs)
+        if self._prep_out is not None:
+            return self._prep_out(self._mesh, out)
+        if self._out_layouts is not None:
+            return self._constrain(out, self._out_layouts)
+        return out
+
+
 class MojoDistributedModule:
     """Thin marker wrapper tracking managed params (reference
     mojo_parallel.py:147-206).  With GSPMD the forward needs no hooks —

@@ -2,6 +2,7 @@ from mojo_opset_tpu.runtime.compile_cache import CompiledStepPool, round_up_buck
 from mojo_opset_tpu.runtime.config import (
     AFDRole,
     MojoConfig,
+    MojoDynamicConfig,
     MojoModelConfig,
     MojoParallelConfig,
     MojoRunTimeConfig,

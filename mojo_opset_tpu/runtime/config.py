@@ -29,8 +29,32 @@ def _as_dtype(value):
     return value
 
 
+class MojoDynamicConfig:
+    """Config base allowing extra/dynamic fields (reference
+    runtime/config.py:24-28, pydantic ``extra="allow"``).  Dataclass
+    subclasses gain tolerant construction via :meth:`from_dict` — unknown
+    keys become plain attributes instead of raising."""
+
+    @classmethod
+    def from_dict(cls, values: dict):
+        import dataclasses
+
+        known = {f.name for f in dataclasses.fields(cls)} if dataclasses.is_dataclass(cls) else set()
+        obj = cls(**{k: v for k, v in values.items() if k in known})
+        for k, v in values.items():
+            if k not in known:
+                setattr(obj, k, v)
+        return obj
+
+    def extra_fields(self) -> dict:
+        import dataclasses
+
+        known = {f.name for f in dataclasses.fields(self)} if dataclasses.is_dataclass(self) else set()
+        return {k: v for k, v in self.__dict__.items() if k not in known}
+
+
 @dataclass
-class MojoModelConfig:
+class MojoModelConfig(MojoDynamicConfig):
     hidden_size: int = 0
     embed_dim: int = 0
     head_dim: int = 0

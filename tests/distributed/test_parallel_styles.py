@@ -152,3 +152,60 @@ def test_tp_generation_fused_matches_single_device():
     np.testing.assert_array_equal(np.asarray(got_fused), np.asarray(want))
     print("OK")
     """, timeout=600)
+
+
+def test_registerable_style_dist_info_registry_and_apply():
+    """register_dist_info keyed by module class; apply() partitions via
+    the registered partition_fn and wraps forward with prepare fns
+    (reference mojo_parallel.py:33-144)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from mojo_opset_tpu.parallel import MojoRegisterableParallelStyle
+    from mojo_opset_tpu.core.operators import MojoGemm
+
+    class MyStyle(MojoRegisterableParallelStyle):
+        pass
+
+    class OtherStyle(MojoRegisterableParallelStyle):
+        pass
+
+    calls = {}
+
+    def partition_fn(module, mesh):
+        calls["partition"] = True
+        return module
+
+    MyStyle.register_dist_info(
+        MojoGemm,
+        partition_fn=partition_fn,
+        desired_input_layouts=P(),
+        desired_output_layouts=P(),
+    )
+    # per-subclass registry isolation (reference __init_subclass__ reset)
+    assert OtherStyle.get_dist_info(MojoGemm) is None
+    assert MyStyle.get_dist_info(MojoGemm) is not None
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("tp",))
+    gemm = MojoGemm(8, 8, bias=False, key=jax.random.PRNGKey(0), dtype=jnp.float32)
+    x = jnp.ones((4, 8), jnp.float32)
+    expected = np.asarray(gemm(x))
+
+    wrapped = MyStyle().apply(gemm, mesh)
+    assert calls["partition"]
+    out = np.asarray(wrapped(x))
+    np.testing.assert_allclose(out, expected, rtol=1e-6)
+
+
+def test_dynamic_config_allows_extra_fields():
+    """MojoDynamicConfig.from_dict tolerates unknown keys (reference
+    runtime/config.py:24-28 pydantic extra='allow')."""
+    from mojo_opset_tpu.runtime import MojoModelConfig
+
+    cfg = MojoModelConfig.from_dict(
+        {"hidden_size": 64, "num_heads": 4, "custom_vendor_field": "abc"}
+    )
+    assert cfg.hidden_size == 64
+    assert cfg.custom_vendor_field == "abc"
+    assert cfg.extra_fields() == {"custom_vendor_field": "abc"}

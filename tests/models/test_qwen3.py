@@ -138,3 +138,22 @@ def test_kv_mirror_layers_share_cache():
     caches2 = caches.update(0, new_k, new_k)
     # layer 2 (1-indexed 3) mirrors layer 0 storage
     assert float(caches2.key(2).sum()) == float(new_k.sum())
+
+
+def test_mojo_qwen3_moe_block_runs_and_jits():
+    """Toy composed MoE block (reference mojo_qwen3_moe.py:12-51, there
+    bit-rotted; here runnable): embed -> qkv -> norm -> prefill GQA ->
+    norm -> gating/dispatch/GroupGemm/combine."""
+    import jax
+    import jax.numpy as jnp
+
+    from mojo_opset_tpu.modeling.qwen3 import MojoQwen3MoeBlock
+
+    block = MojoQwen3MoeBlock(
+        vocab_size=128, hidden_size=64, num_heads=4, head_dim=16,
+        num_experts=4, top_k=2, dtype=jnp.float32,
+    )
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, 128)
+    out = block(ids)
+    assert out.shape == (2, 8, 64)
+    assert np.isfinite(np.asarray(out, dtype=np.float32)).all()
