@@ -190,4 +190,13 @@ def qwen3_config_from_hf(cfg: dict):
         rope_theta=cfg.get("rope_theta", 10000.0),
         attention_bias=cfg.get("attention_bias", False),
         tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+        dtype=_dtype_from_hf(cfg.get("torch_dtype") or cfg.get("dtype")),
     )
+
+
+def _dtype_from_hf(name):
+    import jax.numpy as jnp
+
+    return {
+        "float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16,
+    }.get(name, jnp.bfloat16)
