@@ -18,9 +18,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _row_block(T: int) -> int:
+def _row_block(T: int, D: int = 0, n_io: int = 2) -> int:
+    """Largest row block whose VMEM footprint stays inside the ~16 MB
+    scoped budget: n_io 2-byte IO buffers plus fp32 temps per row block.
+    (blk=256, D=4096, n_io=4 was observed to exceed the 16 MB limit.)"""
+    budget = 4 * 1024 * 1024
     for cand in (256, 128, 64, 32, 16, 8):
-        if T % cand == 0:
+        if T % cand == 0 and (D == 0 or cand * D * 2 * n_io <= budget):
             return cand
     return T
 
@@ -40,7 +44,7 @@ def rmsnorm(x: jax.Array, weight: jax.Array, eps: float, interpret: bool = False
     D = orig_shape[-1]
     x2 = x.reshape(-1, D)
     T = x2.shape[0]
-    blk = _row_block(T)
+    blk = _row_block(T, D, n_io=2)
     out = pl.pallas_call(
         functools.partial(_rmsnorm_kernel, eps=eps),
         grid=(T // blk,),
@@ -84,7 +88,7 @@ def residual_add_rmsnorm(
     x2 = hidden.reshape(-1, D)
     r2 = residual.reshape(-1, D)
     T = x2.shape[0]
-    blk = _row_block(T)
+    blk = _row_block(T, D, n_io=4)
     out, res = pl.pallas_call(
         functools.partial(_add_rmsnorm_kernel, eps=eps, norm_pos=norm_pos),
         grid=(T // blk,),
@@ -127,7 +131,7 @@ def rmsnorm_quant(
     D = orig_shape[-1]
     x2 = x.reshape(-1, D)
     T = x2.shape[0]
-    blk = _row_block(T)
+    blk = _row_block(T, D, n_io=3)
     q, s = pl.pallas_call(
         functools.partial(_rmsnorm_quant_kernel, eps=eps, q_max=q_max, q_min=q_min),
         grid=(T // blk,),

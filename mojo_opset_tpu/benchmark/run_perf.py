@@ -61,16 +61,28 @@ def run_case(spec: PerfSpec, provider: str, case, iters: int = 16) -> Optional[d
     args = tuple(resolve(a) for a in workload.args)
     kwargs = {k: resolve(v) for k, v in workload.kwargs.items()}
 
-    if workload.run is not None:
-        fn = lambda *a: workload.run(op, *a, **kwargs)  # noqa: E731
-    else:
-        fn = lambda *a: op(*a, **kwargs)  # noqa: E731
+    # The op (with its weights) and every array kwarg must enter the timed
+    # jit as REAL arguments — closed-over arrays become inline constants,
+    # which blow up the remote-compile payload for large weights (HTTP 413)
+    # and invite constant folding of the op under test.
+    kw_arr = {k: v for k, v in kwargs.items() if isinstance(v, jax.Array)}
+    kw_static = {k: v for k, v in kwargs.items() if k not in kw_arr}
+    kw_keys = tuple(kw_arr)
+    run_fn = workload.run or (lambda op_, *a, **kw: op_(*a, **kw))
+    n_pos = len(args)
+
+    def fn(*flat):
+        op_ = flat[n_pos]
+        kwv = dict(zip(kw_keys, flat[n_pos + 1 :]))
+        return run_fn(op_, *flat[:n_pos], **kw_static, **kwv)
+
+    flat_args = (*args, op, *kw_arr.values())
 
     # correctness guard: one eager call
-    out = fn(*args)
+    out = fn(*flat_args)
     device_sync(out)
 
-    us = device_time_us(fn, *args, iters=iters)
+    us = device_time_us(fn, *flat_args, iters=iters)
     rec = {
         "op": spec.name,
         "case": case.id,

@@ -200,3 +200,66 @@ def _dtype_from_hf(name):
     return {
         "float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16,
     }.get(name, jnp.bfloat16)
+
+
+def deepseek_v3_config_from_hf(cfg: dict):
+    from mojo_opset_tpu.modeling.deepseekv3 import DeepseekV3Config
+
+    return DeepseekV3Config(
+        hidden_size=cfg.get("hidden_size", 7168),
+        intermediate_size=cfg.get("intermediate_size", 18432),
+        moe_intermediate_size=cfg.get("moe_intermediate_size", 2048),
+        num_attention_heads=cfg.get("num_attention_heads", 128),
+        num_hidden_layers=cfg.get("num_hidden_layers", 61),
+        vocab_size=cfg.get("vocab_size", 129280),
+        max_position_embeddings=cfg.get("max_position_embeddings", 4096),
+        rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
+        rope_theta=cfg.get("rope_theta", 10000.0),
+        q_lora_rank=cfg.get("q_lora_rank", 1536),
+        kv_lora_rank=cfg.get("kv_lora_rank", 512),
+        qk_rope_head_dim=cfg.get("qk_rope_head_dim", 64),
+        qk_nope_head_dim=cfg.get("qk_nope_head_dim", 128),
+        v_head_dim=cfg.get("v_head_dim", 128),
+        n_routed_experts=cfg.get("n_routed_experts", 256),
+        n_shared_experts=cfg.get("n_shared_experts", 1),
+        num_experts_per_tok=cfg.get("num_experts_per_tok", 8),
+        first_k_dense_replace=cfg.get("first_k_dense_replace", 3),
+        tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+        dtype=_dtype_from_hf(cfg.get("torch_dtype") or cfg.get("dtype")),
+    )
+
+
+def _deinterleave_rows(w: np.ndarray) -> np.ndarray:
+    """Reorder rope rows [x0,x1,...] -> [x0,x2,...,x1,x3,...]
+    (the activation permute HF's apply_rotary_pos_emb_interleave performs,
+    folded into the producing weight so plain rotate-half RoPE matches)."""
+    d = w.shape[0]
+    return np.concatenate([w[0::2], w[1::2]], axis=0)
+
+
+def deepseek_v3_interleave_converters(hf_cfg: dict):
+    """Converters for checkpoints with ``rope_interleave=True`` (the
+    DeepSeek-V3 default): de-interleave the weight rows that produce
+    q_pe / k_pe so the model's rotate-half RoPE reproduces HF's
+    interleaved application exactly."""
+    dn = hf_cfg.get("qk_nope_head_dim", 128)
+    dr = hf_cfg.get("qk_rope_head_dim", 64)
+    dqk = dn + dr
+
+    def fix_q(w: np.ndarray) -> np.ndarray:
+        # (H*dqk, rank): permute the rope rows of each head
+        H = w.shape[0] // dqk
+        w = w.reshape(H, dqk, -1).copy()
+        w[:, dn:] = np.concatenate([w[:, dn::2], w[:, dn + 1 :: 2]], axis=1)
+        return w.reshape(H * dqk, -1)
+
+    def fix_kv_a(w: np.ndarray) -> np.ndarray:
+        # (kv_lora_rank + dr, hidden): permute the trailing rope rows
+        w = w.copy()
+        w[-dr:] = _deinterleave_rows(w[-dr:])
+        return w
+
+    return {
+        r"model\.layers\.\d+\.self_attn\.(q_b_proj|q_proj)\.weight": fix_q,
+        r"model\.layers\.\d+\.self_attn\.kv_a_proj_with_mqa\.weight": fix_kv_a,
+    }

@@ -38,6 +38,47 @@ def apply_mojo_to_qwen3(checkpoint_dir: str, key: Optional[jax.Array] = None, **
     )
 
 
+def apply_mojo_to_deepseek_v3(checkpoint_dir: str, key: Optional[jax.Array] = None, **kwargs):
+    """Build the Mojo-op DeepseekV3ForCausalLM from an HF DeepSeek-V3
+    checkpoint.  Handles (a) the kv_b_proj decompression weight living
+    inside the MLA ops (shared by prefill/decode), and (b) HF's
+    ``rope_interleave=True`` convention by de-interleaving the q_pe/k_pe
+    producing rows at load time."""
+    import json
+    import os
+    import re
+
+    from mojo_opset_tpu.modeling.deepseekv3 import DeepseekV3ForCausalLM
+    from mojo_opset_tpu.utils.hf import (
+        deepseek_v3_config_from_hf,
+        deepseek_v3_interleave_converters,
+    )
+
+    cfg_path = os.path.join(checkpoint_dir, "config.json")
+    hf_cfg = {}
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            hf_cfg = json.load(f)
+
+    def kv_b_hook(path: str) -> Optional[str]:
+        m = re.fullmatch(
+            r"(model\.layers\.\d+\.self_attn)\.(attn_prefill|attn_decode)\.kv_b_proj", path
+        )
+        return f"{m.group(1)}.kv_b_proj.weight" if m else None
+
+    converters = (
+        deepseek_v3_interleave_converters(hf_cfg)
+        if hf_cfg.get("rope_interleave", True)
+        else None
+    )
+    return build_model_from_hf(
+        DeepseekV3ForCausalLM, checkpoint_dir,
+        config_translate=deepseek_v3_config_from_hf,
+        rename_hooks=[kv_b_hook], converters=converters,
+        key=key, **kwargs,
+    )
+
+
 def apply_mojo_to_wan2_2(dit_state: dict, config=None, key: Optional[jax.Array] = None):
     """Load a Wan2.2 DiT state dict into the Mojo-op WanModel
     (reference patching.py:136-160)."""

@@ -1,0 +1,99 @@
+"""DeepSeek-V3 MLA logits parity vs HuggingFace transformers (torch CPU).
+
+All layers are dense (first_k_dense_replace >= num_layers) so the
+comparison isolates the MLA attention path — q LoRA, latent KV
+compression, decoupled rope — against the canonical implementation,
+including HF's ``rope_interleave=True`` weight convention (handled by
+de-interleave converters at load, utils/hf.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from mojo_opset_tpu.modeling.deepseekv3 import MLARuntimeState
+from mojo_opset_tpu.runtime import PagedAttentionGenerationModel
+from mojo_opset_tpu.utils.patching import apply_mojo_to_deepseek_v3
+
+TINY_HF = dict(
+    hidden_size=64,
+    intermediate_size=96,
+    moe_intermediate_size=32,
+    num_attention_heads=4,
+    num_key_value_heads=4,
+    num_hidden_layers=2,
+    vocab_size=128,
+    max_position_embeddings=128,
+    rms_norm_eps=1e-6,
+    rope_theta=10000.0,
+    q_lora_rank=32,
+    kv_lora_rank=16,
+    qk_rope_head_dim=8,
+    qk_nope_head_dim=16,
+    v_head_dim=16,
+    n_routed_experts=4,
+    n_shared_experts=1,
+    num_experts_per_tok=2,
+    first_k_dense_replace=8,  # all layers dense -> pure MLA comparison
+    n_group=2,
+    topk_group=1,
+    tie_word_embeddings=False,
+    attn_implementation="eager",
+)
+
+
+def _make_checkpoint(tmp_path_factory, rope_interleave):
+    torch.manual_seed(0)
+    cfg = transformers.DeepseekV3Config(**TINY_HF, rope_interleave=rope_interleave)
+    hf_model = transformers.DeepseekV3ForCausalLM(cfg).eval().to(torch.float32)
+    path = tmp_path_factory.mktemp(f"dsv3_tiny_inter{int(rope_interleave)}")
+    hf_model.save_pretrained(path, safe_serialization=True)
+    return hf_model, str(path)
+
+
+def _hf_logits(hf_model, ids_2d):
+    with torch.no_grad():
+        out = hf_model(input_ids=torch.tensor(ids_2d, dtype=torch.long))
+    return out.logits.float().numpy()
+
+
+@pytest.mark.parametrize("rope_interleave", [False, True])
+def test_mla_prefill_logits_match_hf(tmp_path_factory, rope_interleave):
+    hf_model, path = _make_checkpoint(tmp_path_factory, rope_interleave)
+    model = apply_mojo_to_deepseek_v3(path, key=jax.random.PRNGKey(0))
+    gm = PagedAttentionGenerationModel(model, block_size=16, session_cls=MLARuntimeState, jit=False)
+
+    ids = np.array([[3, 17, 42, 5, 99, 1, 64, 23]], np.int32)
+    want = _hf_logits(hf_model, ids)[:, -1]
+    logits, _ = gm(ids[0], context_input_len=np.array([ids.shape[1]], np.int32))
+    np.testing.assert_allclose(np.asarray(logits, np.float32), want, atol=2e-3, rtol=2e-3)
+
+
+def test_mla_greedy_decode_tokens_match_hf(tmp_path_factory):
+    hf_model, path = _make_checkpoint(tmp_path_factory, True)
+    model = apply_mojo_to_deepseek_v3(path, key=jax.random.PRNGKey(0))
+    gm = PagedAttentionGenerationModel(model, block_size=16, session_cls=MLARuntimeState, jit=False)
+
+    prompt = [7, 3, 120, 11, 56]
+    steps = 6
+    hf_ids = list(prompt)
+    for _ in range(steps):
+        logits = _hf_logits(hf_model, np.array([hf_ids]))[0, -1]
+        hf_ids.append(int(logits.argmax()))
+    want_tokens = hf_ids[len(prompt):]
+
+    logits, session = gm(np.array(prompt, np.int32),
+                         context_input_len=np.array([len(prompt)], np.int32))
+    got = []
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    got.append(int(tok[0]))
+    for _ in range(steps - 1):
+        logits, session = gm(tok, session=session)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        got.append(int(tok[0]))
+    assert got == want_tokens
