@@ -151,6 +151,7 @@ def build_model_from_hf(
     rename_hooks: Optional[List[Callable[[str], Optional[str]]]] = None,
     converters: Optional[Dict[str, Callable]] = None,
     strict: bool = False,
+    preprocess: Optional[Callable[[Dict[str, np.ndarray], dict], Dict[str, np.ndarray]]] = None,
     **ctor_kwargs,
 ):
     """Build a model from an HF checkpoint directory: read config.json,
@@ -168,6 +169,8 @@ def build_model_from_hf(
     else:
         model = model_ctor(**ctor_kwargs)
     weights = load_sharded_safetensors(checkpoint_dir)
+    if preprocess is not None:
+        weights = preprocess(weights, cfg_dict)
     return load_state_dict(model, weights, rename_hooks, converters, strict=strict)
 
 
@@ -200,6 +203,59 @@ def _dtype_from_hf(name):
     return {
         "float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16,
     }.get(name, jnp.bfloat16)
+
+
+def qwen3_moe_config_from_hf(cfg: dict):
+    from mojo_opset_tpu.modeling.qwen3 import Qwen3MoeConfig
+
+    return Qwen3MoeConfig(
+        hidden_size=cfg.get("hidden_size", 2048),
+        intermediate_size=cfg.get("intermediate_size", 6144),
+        num_attention_heads=cfg.get("num_attention_heads", 32),
+        num_key_value_heads=cfg.get("num_key_value_heads", 4),
+        num_hidden_layers=cfg.get("num_hidden_layers", 48),
+        head_dim=cfg.get("head_dim", 128),
+        vocab_size=cfg.get("vocab_size", 151936),
+        max_position_embeddings=cfg.get("max_position_embeddings", 40960),
+        rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
+        rope_theta=cfg.get("rope_theta", 10000.0),
+        attention_bias=cfg.get("attention_bias", False),
+        tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+        num_experts=cfg.get("num_experts", 128),
+        num_experts_per_tok=cfg.get("num_experts_per_tok", 8),
+        moe_intermediate_size=cfg.get("moe_intermediate_size", 768),
+        dtype=_dtype_from_hf(cfg.get("torch_dtype") or cfg.get("dtype")),
+    )
+
+
+def stack_hf_moe_experts(weights: Dict[str, np.ndarray], num_experts: int) -> Dict[str, np.ndarray]:
+    """Synthesize the fused expert tensors this framework stores from HF's
+    per-expert Linear weights:
+
+      mlp.experts.{e}.gate_proj/up_proj (I, H) -> mlp.experts.up_proj_weight (E, 2I, H)
+      mlp.experts.{e}.down_proj (H, I)         -> mlp.experts.down_proj_weight (E, H, I)
+      mlp.gate.weight (E, H)                   -> mlp.gating.gate_weight (H, E)
+
+    The per-expert keys are consumed (removed) so they do not show up as
+    unexpected leftovers."""
+    out = dict(weights)
+    prefixes = sorted(
+        {k.rsplit(".experts.", 1)[0] for k in weights if ".experts." in k and ".gate_proj." in k}
+    )
+    for p in prefixes:
+        gates, ups, downs = [], [], []
+        for e in range(num_experts):
+            gates.append(out.pop(f"{p}.experts.{e}.gate_proj.weight"))
+            ups.append(out.pop(f"{p}.experts.{e}.up_proj.weight"))
+            downs.append(out.pop(f"{p}.experts.{e}.down_proj.weight"))
+        out[f"{p}.experts.up_proj_weight"] = np.stack(
+            [np.concatenate([g, u], axis=0) for g, u in zip(gates, ups)]
+        )
+        out[f"{p}.experts.down_proj_weight"] = np.stack(downs)
+        gate_w = out.pop(f"{p}.gate.weight", None)
+        if gate_w is not None:
+            out[f"{p}.gating.gate_weight"] = gate_w.T
+    return out
 
 
 def deepseek_v3_config_from_hf(cfg: dict):

@@ -38,6 +38,27 @@ def apply_mojo_to_qwen3(checkpoint_dir: str, key: Optional[jax.Array] = None, **
     )
 
 
+def apply_mojo_to_qwen3_moe(checkpoint_dir: str, key: Optional[jax.Array] = None, **kwargs):
+    """Build the Mojo-op Qwen3MoeForCausalLM from an HF Qwen3-MoE
+    checkpoint, stacking the per-expert Linear weights into the fused
+    ``(E, 2I, H)`` / ``(E, H, I)`` expert tensors."""
+    from mojo_opset_tpu.modeling.qwen3 import Qwen3MoeForCausalLM
+    from mojo_opset_tpu.utils.hf import qwen3_moe_config_from_hf, stack_hf_moe_experts
+
+    def model_prefix_hook(path: str) -> Optional[str]:
+        # this model's pytree has no `model.` wrapper module; the
+        # checkpoint stores everything but lm_head under one
+        return path if path.startswith("lm_head.") else f"model.{path}"
+
+    return build_model_from_hf(
+        Qwen3MoeForCausalLM, checkpoint_dir,
+        config_translate=qwen3_moe_config_from_hf,
+        preprocess=lambda w, cfg: stack_hf_moe_experts(w, cfg.get("num_experts", 128)),
+        rename_hooks=[model_prefix_hook],
+        key=key, **kwargs,
+    )
+
+
 def apply_mojo_to_deepseek_v3(checkpoint_dir: str, key: Optional[jax.Array] = None, **kwargs):
     """Build the Mojo-op DeepseekV3ForCausalLM from an HF DeepSeek-V3
     checkpoint.  Handles (a) the kv_b_proj decompression weight living
