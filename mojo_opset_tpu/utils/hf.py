@@ -205,6 +205,28 @@ def _dtype_from_hf(name):
     }.get(name, jnp.bfloat16)
 
 
+def seed_oss_config_from_hf(cfg: dict):
+    from mojo_opset_tpu.modeling.seed_oss import SeedOssConfig
+
+    return SeedOssConfig(
+        hidden_size=cfg.get("hidden_size", 4096),
+        intermediate_size=cfg.get("intermediate_size", 11008),
+        num_attention_heads=cfg.get("num_attention_heads", 32),
+        num_key_value_heads=cfg.get("num_key_value_heads", 8),
+        num_hidden_layers=cfg.get("num_hidden_layers", 32),
+        head_dim=cfg.get("head_dim", 128),
+        vocab_size=cfg.get("vocab_size", 100352),
+        max_position_embeddings=cfg.get("max_position_embeddings", 8192),
+        rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
+        rope_theta=cfg.get("rope_theta", 1e7),
+        attention_bias=cfg.get("attention_bias", True),
+        attention_out_bias=cfg.get("attention_out_bias", False),
+        mlp_bias=cfg.get("mlp_bias", False),
+        tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+        dtype=_dtype_from_hf(cfg.get("torch_dtype") or cfg.get("dtype")),
+    )
+
+
 def qwen3_moe_config_from_hf(cfg: dict):
     from mojo_opset_tpu.modeling.qwen3 import Qwen3MoeConfig
 

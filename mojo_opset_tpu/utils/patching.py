@@ -38,6 +38,22 @@ def apply_mojo_to_qwen3(checkpoint_dir: str, key: Optional[jax.Array] = None, **
     )
 
 
+def apply_mojo_to_seed_oss(checkpoint_dir: str, key: Optional[jax.Array] = None, **kwargs):
+    """Build the Mojo-op SeedOssForCausalLM from an HF Seed-OSS checkpoint."""
+    from mojo_opset_tpu.modeling.seed_oss import SeedOssForCausalLM
+    from mojo_opset_tpu.utils.hf import seed_oss_config_from_hf
+
+    def model_prefix_hook(path: str) -> Optional[str]:
+        return path if path.startswith("lm_head.") else f"model.{path}"
+
+    return build_model_from_hf(
+        SeedOssForCausalLM, checkpoint_dir,
+        config_translate=seed_oss_config_from_hf,
+        rename_hooks=[model_prefix_hook],
+        key=key, **kwargs,
+    )
+
+
 def apply_mojo_to_qwen3_moe(checkpoint_dir: str, key: Optional[jax.Array] = None, **kwargs):
     """Build the Mojo-op Qwen3MoeForCausalLM from an HF Qwen3-MoE
     checkpoint, stacking the per-expert Linear weights into the fused

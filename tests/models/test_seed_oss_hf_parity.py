@@ -1,0 +1,90 @@
+"""Seed-OSS logits parity vs HuggingFace transformers (torch CPU).
+
+Pins our Seed-OSS (biased-QKV GQA stack) to the canonical implementation
+through a save_pretrained round trip.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+if not hasattr(transformers, "SeedOssForCausalLM"):
+    pytest.skip("transformers too old for SeedOss", allow_module_level=True)
+
+from mojo_opset_tpu.runtime import PagedAttentionGenerationModel
+from mojo_opset_tpu.utils.patching import apply_mojo_to_seed_oss
+
+TINY_HF = dict(
+    hidden_size=64,
+    intermediate_size=128,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    num_hidden_layers=2,
+    head_dim=16,
+    vocab_size=128,
+    max_position_embeddings=128,
+    rms_norm_eps=1e-6,
+    rope_theta=10000.0,
+    attention_bias=True,
+    attention_out_bias=False,
+    mlp_bias=False,
+    tie_word_embeddings=False,
+    attn_implementation="eager",
+)
+
+
+@pytest.fixture(scope="module")
+def hf_checkpoint(tmp_path_factory):
+    torch.manual_seed(0)
+    cfg = transformers.SeedOssConfig(**TINY_HF)
+    hf_model = transformers.SeedOssForCausalLM(cfg).eval().to(torch.float32)
+    path = tmp_path_factory.mktemp("seed_oss_tiny_hf")
+    hf_model.save_pretrained(path, safe_serialization=True)
+    return hf_model, str(path)
+
+
+def _hf_logits(hf_model, ids_2d):
+    with torch.no_grad():
+        out = hf_model(input_ids=torch.tensor(ids_2d, dtype=torch.long))
+    return out.logits.float().numpy()
+
+
+def test_seed_oss_prefill_logits_match_hf(hf_checkpoint):
+    hf_model, path = hf_checkpoint
+    model = apply_mojo_to_seed_oss(path, key=jax.random.PRNGKey(0))
+    gm = PagedAttentionGenerationModel(model, block_size=16, jit=False)
+
+    ids = np.array([[3, 17, 42, 5, 99, 1, 64, 23]], np.int32)
+    want = _hf_logits(hf_model, ids)[:, -1]
+    logits, _ = gm(ids[0], context_input_len=np.array([ids.shape[1]], np.int32))
+    np.testing.assert_allclose(np.asarray(logits, np.float32), want, atol=2e-3, rtol=2e-3)
+
+
+def test_seed_oss_greedy_decode_tokens_match_hf(hf_checkpoint):
+    hf_model, path = hf_checkpoint
+    model = apply_mojo_to_seed_oss(path, key=jax.random.PRNGKey(0))
+    gm = PagedAttentionGenerationModel(model, block_size=16, jit=False)
+
+    prompt = [7, 3, 120, 11, 56]
+    steps = 6
+    hf_ids = list(prompt)
+    for _ in range(steps):
+        logits = _hf_logits(hf_model, np.array([hf_ids]))[0, -1]
+        hf_ids.append(int(logits.argmax()))
+    want_tokens = hf_ids[len(prompt):]
+
+    logits, session = gm(np.array(prompt, np.int32),
+                         context_input_len=np.array([len(prompt)], np.int32))
+    got = []
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    got.append(int(tok[0]))
+    for _ in range(steps - 1):
+        logits, session = gm(tok, session=session)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        got.append(int(tok[0]))
+    assert got == want_tokens
