@@ -60,10 +60,13 @@ def _parse_rules(spec: Optional[str]):
 
 
 def _matches(rules, layer_idx: int, op_name: str) -> bool:
+    # "none:<op>" rules veto regardless of ordering (reference semantics:
+    # exclusion wins over any positive rule, incl. "*:*").
+    for layer, op in rules:
+        if layer == "none" and (op == "*" or op == op_name):
+            return False
     for layer, op in rules:
         if layer == "none":
-            if op == "*" or op == op_name:
-                return False
             continue
         op_ok = op == "*" or op == op_name
         layer_ok = layer == "*" or (layer.isdigit() and int(layer) == layer_idx)
@@ -127,7 +130,12 @@ class MojoDebugger:
         from mojo_opset_tpu.runtime.generation import GeneratorHook
 
         class _StepHook(GeneratorHook):
+            # reset before AND after each forward so every prefill/decode
+            # step counts its ops from layer 0
             def before_prefill(self, **kw):
+                cls.new_step()
+
+            def after_prefill(self, **kw):
                 cls.new_step()
 
             def after_decode_step(self, **kw):

@@ -123,3 +123,101 @@ def test_debugger_skips_under_jit():
     out = jax.jit(lambda x: op(x))(jnp.ones((2, 2)))
     assert float(out.sum()) > 0
     assert not os.path.exists("/tmp/should_not_exist_dbg")
+
+
+def test_attach_wires_step_resets_into_generator():
+    """attach() resets occurrence counters before prefill and after each
+    decode step, so `<layer>:<op>` rules address the same layer every
+    forward (reference debugger.py:406-442 layer_idx propagation)."""
+    from mojo_opset_tpu.modeling.qwen3 import Qwen3Config, Qwen3ForCausalLM
+    from mojo_opset_tpu.runtime import (
+        GreedySampler,
+        MojoGenerator,
+        PagedAttentionGenerationModel,
+    )
+
+    cfg = Qwen3Config(
+        hidden_size=32, intermediate_size=64, num_attention_heads=2,
+        num_key_value_heads=2, num_hidden_layers=2, head_dim=16,
+        vocab_size=64, max_position_embeddings=64, dtype=jnp.float32,
+    )
+    model = Qwen3ForCausalLM(cfg, key=jax.random.PRNGKey(3))
+    gm = PagedAttentionGenerationModel(model, block_size=16, jit=False)
+
+    class Tok:
+        eos_token_id = 0
+
+    gen = MojoGenerator(gm, Tok(), GreedySampler(), max_new_tokens=3)
+    MojoDebugger.enable(compare="0:RMSNorm")
+    MojoDebugger.attach(gen)
+    h = _capture_logger()
+    gen.generate_from_ids(np.array([1, 2, 3], np.int32), np.array([3], np.int32),
+                          ignore_eos=True, silent=True)
+    # 1 prefill + decode steps, each re-counting RMSNorm from layer 0; on
+    # CPU the default tier IS the golden, so each matched call logs the
+    # "already the golden tier" line — the rule must fire every step.
+    hits = [
+        r for r in h.records
+        if "RMSNorm layer 0" in r.getMessage() or
+        ("debug compare" in r.getMessage() and "RMSNorm layer 0" in r.getMessage())
+    ]
+    assert len(hits) >= 3
+
+
+def test_compare_on_golden_tier_warns(monkeypatch):
+    monkeypatch.setenv("MOJO_BACKEND", "ref")
+    h = _capture_logger()
+    MojoDebugger.enable(compare="*:GroupGemm")
+    w = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8))
+    op = m.MojoGroupGemm.get_backend_impl("ref")(w)
+    op(jax.random.normal(jax.random.PRNGKey(1), (6, 8)), jnp.array([2, 4], jnp.int32))
+    assert any("already the golden tier" in r.getMessage() for r in h.records)
+
+
+def test_dump_and_compare_together(tmp_path):
+    h = _capture_logger()
+    MojoDebugger.enable(compare="*:GroupGemm", dump="*:GroupGemm", dump_dir=str(tmp_path))
+    op = _xla_groupgemm()
+    op(jax.random.normal(jax.random.PRNGKey(1), (6, 8)), jnp.array([2, 4], jnp.int32))
+    assert list(tmp_path.rglob("*.npz"))
+    assert any("cos_sim" in r.getMessage() for r in h.records)
+
+
+def test_dump_skips_non_array_args_and_keeps_ints(tmp_path):
+    MojoDebugger.enable(dump="*:GroupGemm", dump_dir=str(tmp_path))
+    op = _xla_groupgemm()
+    op(jax.random.normal(jax.random.PRNGKey(1), (6, 8)), jnp.array([2, 4], jnp.int32))
+    data = np.load(list(tmp_path.rglob("*.npz"))[0])
+    assert "in0" in data and "in1" in data  # int32 group_list dumped too
+    assert data["in1"].dtype == np.int32
+
+
+def test_internal_compare_failure_is_swallowed(monkeypatch):
+    """A crash inside the debugger must never break the model forward
+    (reference debugger.py:788 — all debug exceptions to warnings)."""
+    def boom(*a, **k):
+        raise RuntimeError("injected")
+
+    monkeypatch.setattr(MojoDebugger, "_log_compare", classmethod(boom))
+    MojoDebugger.enable(compare="*:GroupGemm")
+    op = _xla_groupgemm()
+    out = op(jax.random.normal(jax.random.PRNGKey(1), (6, 8)), jnp.array([2, 4], jnp.int32))
+    assert out.shape == (6, 8)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_none_rule_excludes_op_within_wildcard(tmp_path):
+    MojoDebugger.enable(dump="*:*, none:Silu", dump_dir=str(tmp_path))
+    m.MojoSilu()(jnp.ones((2, 2)))
+    assert not list(tmp_path.rglob("*.npz"))
+    m.MojoGelu()(jnp.ones((2, 2)))
+    assert len(list(tmp_path.rglob("*.npz"))) == 1
+
+
+def test_disable_removes_hook(tmp_path):
+    MojoDebugger.enable(dump="*:Silu", dump_dir=str(tmp_path))
+    m.MojoSilu()(jnp.ones((2,)))
+    assert len(list(tmp_path.rglob("*.npz"))) == 1
+    MojoDebugger.disable()
+    m.MojoSilu()(jnp.ones((2,)))
+    assert len(list(tmp_path.rglob("*.npz"))) == 1
