@@ -37,8 +37,11 @@ class CompiledStepPool:
     def signature(self, *args) -> Hashable:
         sig = []
         for a in args:
-            leaves = jax.tree_util.tree_leaves(a)
-            sig.append(tuple((tuple(l.shape), str(l.dtype)) for l in leaves if hasattr(l, "shape")))
+            leaves, treedef = jax.tree_util.tree_flatten(a)
+            sig.append((
+                str(treedef),  # session/pytree structure is part of the key
+                tuple((tuple(l.shape), str(l.dtype)) for l in leaves if hasattr(l, "shape")),
+            ))
         return tuple(sig)
 
     def get_runner(self, *args) -> Callable:
