@@ -12,9 +12,11 @@ the ragged row layout:
     each group's windows are anchored at its 8-aligned base so every
     window is EXACTLY ``bm`` rows — no MXU padding waste — at the cost of
     at most one extra window per group;
-  * grid (m_tiles_max, n_tiles, k_chunks): activation window DMA'd once
-    per m tile, K-chunked weight slabs double-buffered by global-step
-    parity, fp32 VMEM accumulator across k chunks;
+  * grid (m_tiles_max, n_tiles) with the K loop unrolled INSIDE the
+    kernel body (per-grid-step fixed costs were ~25% of runtime when K
+    rode the grid): activation window DMA'd once per m tile, K-chunked
+    weight slabs double-buffered by global k-step parity, fp32
+    accumulator carried through the unrolled loop;
   * a window fully inside its group writes its rows directly (rows of the
     same group computed twice by overlapping windows get identical
     values); windows that straddle a group boundary read-merge-write so
@@ -33,45 +35,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _gmm_kernel(
+def _gmm_kernel_innerk(
     # scalar prefetch
-    win_ref,  # (T,) int32: 8-aligned first row of the tile's DMA window
-    tile_g_ref,  # (T,) int32: owning group
-    tile_lo_ref,  # (T,) int32: group's first row
-    tile_hi_ref,  # (T,) int32: group's end row
-    tile_flags_ref,  # (T,) int32: 0 invalid, 1 direct write, 2 merge write
+    win_ref, tile_g_ref, tile_lo_ref, tile_hi_ref, tile_flags_ref,
     # inputs
-    x_hbm,  # (M, K)
-    w_hbm,  # (G, K, N)
+    x_hbm, w_hbm,
     # outputs
-    o_hbm,  # (M, N)
+    o_hbm,
     # scratch
-    xbuf,  # (bmw, K)
-    wbuf,  # (2, bk, bn)
-    obuf,  # (bmw, bn)
-    xsem, osem,
-    wsem,  # (2,)
-    acc_ref,  # (bmw, bn) f32
+    xbuf, wbuf, obuf, xsem, osem, wsem, acc_ref,
     *,
-    bmw: int,
-    bn: int,
-    bk: int,
-    n_tiles: int,
-    k_chunks: int,
+    bmw: int, bn: int, bk: int, n_tiles: int, k_chunks: int,
 ):
+    """Grouped-matmul kernel; K loop inside the body (see module doc)."""
     t = pl.program_id(0)
     n = pl.program_id(1)
-    kc = pl.program_id(2)
     flags = tile_flags_ref[t]
     g = tile_g_ref[t]
-    # the wrapper guarantees 8-alignment; Mosaic needs the hint to slice
-    # the sublane-tiled row dim at a runtime offset
     w0 = pl.multiple_of(win_ref[t], 8)
-
-    # global k-step index; double-buffer slot = its parity
-    li = (t * n_tiles + n) * k_chunks + kc
-    slot = jax.lax.rem(li, 2)
-    nxt = jax.lax.rem(li + 1, 2)
 
     def w_dma(gi, ni, ki, s):
         return pltpu.make_async_copy(
@@ -80,75 +61,79 @@ def _gmm_kernel(
 
     @pl.when(flags > 0)
     def _run():
-        @pl.when((n == 0) & (kc == 0))
+        @pl.when(n == 0)
         def _():
             pltpu.make_async_copy(x_hbm.at[pl.ds(w0, bmw), :], xbuf, xsem).start()
 
-        @pl.when(li == 0)
+        @pl.when((t == 0) & (n == 0))
         def _():
             w_dma(g, 0, 0, 0).start()
 
-        # prefetch the next k-step's w slab (wrapping n, then tile)
-        nk = kc + 1
-        last_k = nk == k_chunks
-        nn = jnp.where(last_k, n + 1, n)
-        nk = jnp.where(last_k, 0, nk)
-        last_n = last_k & (nn == n_tiles)
-        nt_ = jnp.where(last_n, t + 1, t)
-        nn = jnp.where(last_n, 0, nn)
-        safe = jnp.minimum(nt_, pl.num_programs(0) - 1)
-
-        @pl.when((nt_ < pl.num_programs(0)) & (tile_flags_ref[safe] > 0))
-        def _():
-            w_dma(tile_g_ref[safe], nn, nk, nxt).start()
-
-        @pl.when((n == 0) & (kc == 0))
+        @pl.when(n == 0)
         def _():
             pltpu.make_async_copy(x_hbm.at[pl.ds(w0, bmw), :], xbuf, xsem).wait()
 
-        w_dma(g, n, kc, slot).wait()
+        def body(kc, acc):
+            # slot parity follows the GLOBAL k-step index so the cross-step
+            # prefetch chain stays consistent for odd k_chunks
+            li = (t * n_tiles + n) * k_chunks + kc
+            slot = jax.lax.rem(li, 2)
+            nxt = jax.lax.rem(li + 1, 2)
+            # prefetch the next k chunk (wrapping to the next n tile / m tile)
+            nk = kc + 1
+            last_k = nk == k_chunks
+            nn = jnp.where(last_k, n + 1, n)
+            nk = jnp.where(last_k, 0, nk)
+            last_n = last_k & (nn == n_tiles)
+            nt_ = jnp.where(last_n, t + 1, t)
+            nn = jnp.where(last_n, 0, nn)
+            safe = jnp.minimum(nt_, pl.num_programs(0) - 1)
 
-        partial = jax.lax.dot_general(
-            xbuf[:, pl.ds(kc * bk, bk)], wbuf[slot],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-        @pl.when(kc == 0)
-        def _():
-            acc_ref[...] = partial
-
-        @pl.when(kc > 0)
-        def _():
-            acc_ref[...] = acc_ref[...] + partial
-
-        @pl.when(kc == k_chunks - 1)
-        def _write():
-            out = acc_ref[...]
-
-            @pl.when(flags == 1)
+            @pl.when((nt_ < pl.num_programs(0)) & (tile_flags_ref[safe] > 0))
             def _():
-                obuf[...] = out.astype(obuf.dtype)
+                w_dma(tile_g_ref[safe], nn, nk, nxt).start()
 
-            @pl.when(flags == 2)
-            def _():
-                # boundary window: keep neighbour groups' rows intact
-                rd = pltpu.make_async_copy(
-                    o_hbm.at[pl.ds(w0, bmw), pl.ds(n * bn, bn)], obuf, osem
-                )
-                rd.start()
-                rd.wait()
-                row = w0 + jax.lax.broadcasted_iota(jnp.int32, (bmw, 1), 0)
-                mine = (row >= tile_lo_ref[t]) & (row < tile_hi_ref[t])
-                obuf[...] = jnp.where(mine, out, obuf[...].astype(jnp.float32)).astype(
-                    obuf.dtype
-                )
-
-            wr = pltpu.make_async_copy(
-                obuf, o_hbm.at[pl.ds(w0, bmw), pl.ds(n * bn, bn)], osem
+            w_dma(g, n, kc, slot).wait()
+            k_off = pl.multiple_of(kc * bk, bk)
+            partial = jax.lax.dot_general(
+                xbuf[:, pl.ds(k_off, bk)], wbuf[slot],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
-            wr.start()
-            wr.wait()
+
+            # accumulate straight into the VMEM scratch (a loop carry would
+            # stack an extra fp32 tile per unrolled step -> scoped-vmem OOM)
+            @pl.when(kc == 0)
+            def _():
+                acc_ref[...] = partial
+
+            @pl.when(kc > 0)
+            def _():
+                acc_ref[...] = acc_ref[...] + partial
+
+            return 0
+
+        jax.lax.fori_loop(0, k_chunks, body, 0, unroll=True)
+        out = acc_ref[...]
+
+        @pl.when(flags == 1)
+        def _():
+            obuf[...] = out.astype(obuf.dtype)
+
+        @pl.when(flags == 2)
+        def _():
+            rd = pltpu.make_async_copy(
+                o_hbm.at[pl.ds(w0, bmw), pl.ds(n * bn, bn)], obuf, osem
+            )
+            rd.start()
+            rd.wait()
+            row = w0 + jax.lax.broadcasted_iota(jnp.int32, (bmw, 1), 0)
+            mine = (row >= tile_lo_ref[t]) & (row < tile_hi_ref[t])
+            obuf[...] = jnp.where(mine, out, obuf[...].astype(jnp.float32)).astype(obuf.dtype)
+
+        wr = pltpu.make_async_copy(obuf, o_hbm.at[pl.ds(w0, bmw), pl.ds(n * bn, bn)], osem)
+        wr.start()
+        wr.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "interpret"))
@@ -196,7 +181,7 @@ def grouped_matmul(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(T, n_tiles, k_chunks),
+        grid=(T, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -214,13 +199,13 @@ def grouped_matmul(
     )
     kernel = pl.pallas_call(
         functools.partial(
-            _gmm_kernel, bmw=bmw, bn=bn, bk=bk, n_tiles=n_tiles, k_chunks=k_chunks
+            _gmm_kernel_innerk, bmw=bmw, bn=bn, bk=bk, n_tiles=n_tiles, k_chunks=k_chunks
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * K * N,
