@@ -165,7 +165,7 @@ def paged_decode_gqa(
     block_tables: jax.Array,  # (B, NB) int32
     softmax_scale: float | None = None,
     gqa_layout: str = "AABB",
-    pages_per_fetch: int = 8,
+    pages_per_fetch: int = 16,
     interpret: bool = False,
     kv_layout: str = "HND",
 ) -> jax.Array:
