@@ -90,6 +90,11 @@ class PerfWorkload:
     read_bytes: Optional[float] = None
     write_bytes: Optional[float] = None
     run: Optional[Callable] = None
+    # {arg_name: output_position}: thread these outputs back into the
+    # named args across timing-chain iterations, so state-mutating ops
+    # (KV-cache stores) alias their buffers in the compiled loop instead
+    # of full-copying the state every call.
+    thread: Mapping[str, int] = field(default_factory=dict)
 
     def __post_init__(self):
         if self.args is None:

@@ -82,7 +82,10 @@ def run_case(spec: PerfSpec, provider: str, case, iters: int = 16) -> Optional[d
     out = fn(*flat_args)
     device_sync(out)
 
-    us = device_time_us(fn, *flat_args, iters=iters)
+    thread_idx = tuple(
+        (workload.args.index(name), out_pos) for name, out_pos in workload.thread.items()
+    )
+    us = device_time_us(fn, *flat_args, iters=iters, thread_idx=thread_idx)
     rec = {
         "op": spec.name,
         "case": case.id,

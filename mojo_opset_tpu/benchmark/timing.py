@@ -39,13 +39,20 @@ def device_sync(tree):
     return tree
 
 
-def _make_runner(fn, args):
+def _make_runner(fn, args, thread_idx=()):
     """One jitted chain with a runtime trip count.
 
     Inputs enter as REAL jit arguments, never closure constants: baked-in
     constants (a) blow up the remote-compile payload for big operands and
     (b) would let XLA constant-fold the op under test.
+
+    ``thread_idx``: sequence of (arg_position, output_position) pairs —
+    those outputs are fed back as the named args on the next iteration,
+    so state-mutating ops (cache stores) can alias buffers in the loop
+    instead of materializing a full state copy per call.
     """
+    if thread_idx:
+        return _make_threaded_runner(fn, args, thread_idx)
 
     @jax.jit
     def run(n, a0, *rest):
@@ -78,9 +85,39 @@ def _make_runner(fn, args):
     return lambda n: run(jnp.int32(n), *args)
 
 
+def _make_threaded_runner(fn, args, thread_idx):
+    arg_pos = [p for p, _ in thread_idx]
+    out_pos = [o for _, o in thread_idx]
+
+    @jax.jit
+    def run(n, *flat):
+        def body(_i, carry):
+            threaded, acc = carry
+            call = list(flat)
+            for i, p in enumerate(arg_pos):
+                call[p] = threaded[i]
+            out = fn(*call)
+            outs = out if isinstance(out, (tuple, list)) else (out,)
+            new_threaded = tuple(outs[o] for o in out_pos)
+            # cheap probe: one lane-width slice per threaded output keeps
+            # the final carry data-dependent on the last iteration without
+            # re-reading the whole state
+            probe = sum(
+                jnp.sum(jnp.abs(t.reshape(-1)[:128].astype(jnp.float32)))
+                for t in new_threaded
+            )
+            return new_threaded, acc + probe * 1e-9
+
+        init = tuple(flat[p] for p in arg_pos)
+        _, acc = jax.lax.fori_loop(0, n, body, (init, jnp.zeros((), jnp.float32)))
+        return acc
+
+    return lambda n: run(jnp.int32(n), *args)
+
+
 def device_time_us(
     fn: Callable, *args, iters: int = 20, repeats: int = 6, warmup: int = 2,
-    max_iters: int = 8192, time_budget_s: float = 1.0,
+    max_iters: int = 8192, time_budget_s: float = 1.0, thread_idx=(),
 ) -> float:
     """Average device time per call of fn(*args), in microseconds.
 
@@ -90,7 +127,7 @@ def device_time_us(
     dominates the floor — or (b) the chain itself exceeds ``time_budget_s``
     (at which point the floor is <3% of the measurement anyway).
     """
-    runner = _make_runner(fn, args)
+    runner = _make_runner(fn, args, thread_idx)
 
     def best(n):
         # Sync via a host fetch of the scalar carry (see device_sync on why

@@ -113,6 +113,9 @@ def store_kv_workload(case):
         args=args,
         kwargs=kwargs,
         write_bytes=2 * T * Hkv * D * 2,
+        # thread the updated caches back into the chain: in-place scatter
+        # semantics (donated buffers), not a full cache copy per call
+        thread={"key_cache": 0, "value_cache": 1},
     )
 
 
