@@ -32,6 +32,8 @@ def main():
     parser.add_argument("--dim", type=int, default=512)
     parser.add_argument("--layers", type=int, default=8)
     parser.add_argument("--decode-vae", action="store_true")
+    parser.add_argument("--ckpt-dir", default=None,
+                        help="Wan2.2 DiT checkpoint dir (sharded safetensors)")
     args = parser.parse_args()
 
     from mojo_opset_tpu.modeling.wan2_2 import WanConfig, WanModel
@@ -41,7 +43,15 @@ def main():
         ffn_dim=args.dim * 4, freq_dim=256, text_dim=512, out_dim=16,
         num_heads=args.dim // 64, num_layers=args.layers,
     )
-    model = WanModel(cfg, key=jax.random.PRNGKey(0))
+    if args.ckpt_dir:
+        from mojo_opset_tpu.utils.hf import load_sharded_safetensors
+        from mojo_opset_tpu.utils.patching import apply_mojo_to_wan2_2
+
+        model = apply_mojo_to_wan2_2(
+            load_sharded_safetensors(args.ckpt_dir), key=jax.random.PRNGKey(0)
+        )
+    else:
+        model = WanModel(cfg, key=jax.random.PRNGKey(0))
 
     F, H, W = args.frames, args.size // 8, args.size // 8
     seq_len = F * (H // 2) * (W // 2)

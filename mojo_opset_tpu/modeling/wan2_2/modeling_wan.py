@@ -44,7 +44,14 @@ def rope_params(max_seq_len: int, dim: int, theta: float = 10000.0) -> jax.Array
         np.arange(max_seq_len),
         1.0 / np.power(theta, np.arange(0, dim, 2).astype(np.float64) / dim),
     )
-    return jnp.asarray(np.exp(1j * freqs), jnp.complex64)
+    # Transfer float32 halves and form the complex array ON DEVICE:
+    # complex64 host->device transfers are Unimplemented on some TPU
+    # runtimes once any other program has run (observed on axon), while
+    # device-side lax.complex always works.
+    c = np.exp(1j * freqs)
+    return jax.lax.complex(
+        jnp.asarray(c.real.astype(np.float32)), jnp.asarray(c.imag.astype(np.float32))
+    )
 
 
 class WanSelfAttention(Module):

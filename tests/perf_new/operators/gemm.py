@@ -66,6 +66,8 @@ def quant_gemm_workload(case):
 STORE_KV_CASES = [
     perf_case("decode_b16", tags=("smoke",), T=16, Hkv=8, D=128, bs=64, NB=32, decode=True),
     perf_case("prefill_t4096", tags=("smoke", "full"), T=4096, Hkv=8, D=128, bs=64, NB=64, decode=False),
+    perf_case("decode_b16_nhd", tags=("smoke",), T=16, Hkv=8, D=128, bs=64, NB=32, decode=True, layout="NHD"),
+    perf_case("prefill_t4096_nhd", tags=("smoke", "full"), T=4096, Hkv=8, D=128, bs=64, NB=64, decode=False, layout="NHD"),
 ]
 
 
@@ -87,11 +89,13 @@ def store_kv_workload(case):
     def cu(spec):
         return jnp.asarray([0, T], jnp.int32)
 
+    layout = p.get("layout", "HND")
+    cache_shape = (N, bs, Hkv, D) if layout == "NHD" else (N, Hkv, bs, D)
     inputs = {
         "key_states": tensor((T, Hkv, D), jnp.bfloat16),
         "value_states": tensor((T, Hkv, D), jnp.bfloat16),
-        "key_cache": tensor((N, Hkv, bs, D), jnp.bfloat16),
-        "value_cache": tensor((N, Hkv, bs, D), jnp.bfloat16),
+        "key_cache": tensor(cache_shape, jnp.bfloat16),
+        "value_cache": tensor(cache_shape, jnp.bfloat16),
         "block_table": tensor((B, NB), jnp.int32, creator=bt),
         "context_kv_lens": tensor((B,), jnp.int32, creator=ctx),
     }
@@ -110,6 +114,7 @@ def store_kv_workload(case):
         kwargs = {"context_kv_lens": "context_kv_lens"}
     return PerfWorkload(
         inputs=inputs,
+        op_kwargs={"kv_layout": layout},
         args=args,
         kwargs=kwargs,
         write_bytes=2 * T * Hkv * D * 2,
