@@ -1,0 +1,51 @@
+"""Pallas-tier paged KV-cache store (wrapper over kernels/store_kv.py).
+
+Analogue of the reference TTX kv_cache wrapper ops
+(backends/ttx/operators/ + kernels/npu/a2/kv_cache.py).  Prefill writes
+on the NHD layout go through the pipelined block-merge kernel; decode
+(one token/sequence) and the HND layout fall back to the XLA tier, whose
+scatter / chunked-DUS paths are already right for those shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+
+from mojo_opset_tpu.backends.pallas.kernels.store_kv import store_paged_kv_nhd
+from mojo_opset_tpu.backends.xla.operators.kv_cache import (
+    XlaStorePagedKVCache,
+    _chunk_plan,
+)
+from mojo_opset_tpu.utils.platform import pallas_interpret_mode
+
+import jax.numpy as jnp
+
+
+class PallasStorePagedKVCache(XlaStorePagedKVCache):
+    def forward(
+        self,
+        key_states: jax.Array,
+        value_states: jax.Array,
+        key_cache: jax.Array,
+        value_cache: jax.Array,
+        block_table: Optional[jax.Array] = None,
+        cu_q_lens: Optional[jax.Array] = None,
+        context_kv_lens: Optional[jax.Array] = None,
+        *,
+        chunk_metadata: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, jax.Array]:
+        if cu_q_lens is None or chunk_metadata is not None or self.kv_layout != "NHD":
+            return super().forward(
+                key_states, value_states, key_cache, value_cache,
+                block_table, cu_q_lens, context_kv_lens,
+                chunk_metadata=chunk_metadata,
+            )
+        bs = key_cache.shape[1]
+        blk, src, off, length = _chunk_plan(block_table, cu_q_lens, context_kv_lens, bs)
+        blk = jnp.clip(blk, 0, key_cache.shape[0] - 1)
+        return store_paged_kv_nhd(
+            key_states, value_states, key_cache, value_cache,
+            blk, src, off, length, interpret=pallas_interpret_mode(),
+        )

@@ -1,0 +1,117 @@
+"""XLA-tier paged KV-cache store: chunked dynamic-update-slice prefill.
+
+The golden tier's per-token scatter is correct but compiles to a generic
+row scatter (~46 GB/s at prefill t4096 on v5e).  Prefill writes are
+block-contiguous runs, so this tier rewrites them as one
+read-merge-write ``dynamic_update_slice`` per touched block — a memcpy-
+shaped program.  Decode (one token per sequence) keeps the scatter,
+which is already optimal there.
+
+Replaces the reference TTX kv_cache store kernels
+(backends/ttx/kernels/npu/a2/kv_cache.py) as the accelerated tier.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mojo_opset_tpu.core.operators.kv_cache import MojoStorePagedKVCache
+
+
+def _chunk_plan(block_table, cu_q_lens, context_kv_lens, block_size):
+    """Vectorized jittable chunk plan over every (sequence, block) pair.
+
+    Returns (blk, src_start, dst_offset, length), each (B*NB,) int32;
+    invalid pairs get length 0 / blk clipped.
+    """
+    bt = block_table.astype(jnp.int32)
+    ctx = context_kv_lens.astype(jnp.int32)
+    cu = cu_q_lens.astype(jnp.int32)
+    B, NB = bt.shape
+    q_lens = cu[1:] - cu[:-1]
+
+    block_start = (jnp.arange(NB, dtype=jnp.int32) * block_size)[None, :]
+    seq_start = ctx[:, None]
+    seq_end = (ctx + q_lens)[:, None]
+    o_s = jnp.maximum(seq_start, block_start)
+    o_e = jnp.minimum(seq_end, block_start + block_size)
+    length = jnp.maximum(o_e - o_s, 0)
+    valid = (q_lens[:, None] > 0) & (ctx[:, None] >= 0) & (bt >= 0) & (length > 0)
+    length = jnp.where(valid, length, 0)
+    src_start = cu[:-1][:, None] + (o_s - seq_start)
+    dst_offset = o_s - block_start
+    return (
+        bt.reshape(-1),
+        src_start.reshape(-1),
+        dst_offset.reshape(-1),
+        length.reshape(-1),
+    )
+
+
+class XlaStorePagedKVCache(MojoStorePagedKVCache):
+    def forward(
+        self,
+        key_states: jax.Array,
+        value_states: jax.Array,
+        key_cache: jax.Array,
+        value_cache: jax.Array,
+        block_table: Optional[jax.Array] = None,
+        cu_q_lens: Optional[jax.Array] = None,
+        context_kv_lens: Optional[jax.Array] = None,
+        *,
+        chunk_metadata: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, jax.Array]:
+        if cu_q_lens is None or chunk_metadata is not None:
+            # decode fast path / explicit plans: the golden scatter is right
+            return super().forward(
+                key_states, value_states, key_cache, value_cache,
+                block_table, cu_q_lens, context_kv_lens,
+                chunk_metadata=chunk_metadata,
+            )
+        assert key_states.ndim == 3 and key_states.shape == value_states.shape
+        nhd = self.kv_layout == "NHD"
+        bs = key_cache.shape[1] if nhd else key_cache.shape[2]
+        Hkv, D = key_states.shape[1], key_states.shape[2]
+
+        blk, src, off, length = _chunk_plan(block_table, cu_q_lens, context_kv_lens, bs)
+        blk_safe = jnp.clip(blk, 0, key_cache.shape[0] - 1)
+
+        # pad token rows so dynamic_slice at (src - off + bs) is in range
+        def pad(x):
+            return jnp.pad(x, ((bs, bs), (0, 0), (0, 0))).astype(key_cache.dtype)
+
+        k_pad, v_pad = pad(key_states), pad(value_states)
+        rows = jnp.arange(bs, dtype=jnp.int32)
+
+        def body(i, caches):
+            kc, vc = caches
+            b, s, o, L = blk_safe[i], src[i], off[i], length[i]
+            # block row r holds token (s - o) + r for r in [o, o+L)
+            start = s - o + bs
+            k_slab = jax.lax.dynamic_slice(k_pad, (start, 0, 0), (bs, Hkv, D))
+            v_slab = jax.lax.dynamic_slice(v_pad, (start, 0, 0), (bs, Hkv, D))
+            keep = ((rows >= o) & (rows < o + L))[:, None, None]
+            if nhd:
+                cur_k = jax.lax.dynamic_slice(kc, (b, 0, 0, 0), (1, bs, Hkv, D))[0]
+                cur_v = jax.lax.dynamic_slice(vc, (b, 0, 0, 0), (1, bs, Hkv, D))[0]
+                new_k = jnp.where(keep, k_slab, cur_k)
+                new_v = jnp.where(keep, v_slab, cur_v)
+                kc = jax.lax.dynamic_update_slice(kc, new_k[None], (b, 0, 0, 0))
+                vc = jax.lax.dynamic_update_slice(vc, new_v[None], (b, 0, 0, 0))
+            else:  # HND (N, Hkv, bs, D): slab transposed to (Hkv, bs, D)
+                cur_k = jax.lax.dynamic_slice(kc, (b, 0, 0, 0), (1, Hkv, bs, D))[0]
+                cur_v = jax.lax.dynamic_slice(vc, (b, 0, 0, 0), (1, Hkv, bs, D))[0]
+                keep_t = jnp.swapaxes(keep, 0, 1)  # (1->Hkv broadcast, bs, 1)
+                new_k = jnp.where(keep_t, jnp.swapaxes(k_slab, 0, 1), cur_k)
+                new_v = jnp.where(keep_t, jnp.swapaxes(v_slab, 0, 1), cur_v)
+                kc = jax.lax.dynamic_update_slice(kc, new_k[None], (b, 0, 0, 0))
+                vc = jax.lax.dynamic_update_slice(vc, new_v[None], (b, 0, 0, 0))
+            return kc, vc
+
+        key_cache, value_cache = jax.lax.fori_loop(
+            0, blk.shape[0], body, (key_cache, value_cache)
+        )
+        return key_cache, value_cache
