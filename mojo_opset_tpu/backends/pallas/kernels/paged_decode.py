@@ -107,21 +107,67 @@ def _decode_kernel(
     @pl.when(super_start < seq_len)
     def _compute():
         wait_fetch(s, slot)
-        kv_pos = super_start + jax.lax.broadcasted_iota(
-            jnp.int32, (group_pad, P * bs), 1
-        )
-        valid = kv_pos < seq_len
         # rows of K/V beyond seq_len were never DMA'd (uninitialized VMEM,
         # possibly NaN); zero them so 0-weighted rows can't poison the dot.
         col_valid = (
             super_start + jax.lax.broadcasted_iota(jnp.int32, (P * bs, 1), 0)
         ) < seq_len
+        if kv_layout == "NHD":
+            # Per-head slices of the (P*bs, Hkv, D) slab are sublane-strided
+            # (each VMEM tile re-read Hkv times -> ~2x slower end to end).
+            # Instead run ONE block-diagonal dot over the contiguous
+            # flattened slab: q_bd (Hkv*G, Hkv*D) has q_h on its h-th
+            # diagonal block, so q_bd @ kflat^T yields every head's scores
+            # in one MXU op; the off-diagonal FLOPs are free in this
+            # HBM-bound kernel.  Same trick for PV, extracting the
+            # diagonal blocks of the output.
+            G = group_pad
+            D = q_ref.shape[-1]
+            H = num_kv_heads
+            valid = (
+                super_start
+                + jax.lax.broadcasted_iota(jnp.int32, (H * G, P * bs), 1)
+            ) < seq_len
+            eye = (
+                jax.lax.broadcasted_iota(jnp.int32, (H, 1, H, 1), 0)
+                == jax.lax.broadcasted_iota(jnp.int32, (H, 1, H, 1), 2)
+            )
+            q_bd = jnp.where(
+                eye, q_ref[...].astype(jnp.float32)[:, :, None, :], 0.0
+            ).reshape(H * G, H * D) * scale
+            kflat = kbuf[slot].reshape(P * bs, H * D).astype(jnp.float32)
+            sc = jax.lax.dot_general(
+                q_bd, kflat, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (H*G, P*bs)
+            sc = jnp.where(valid, sc, _NEG)
+            m_prev = m_ref[:, 0:1]
+            m_new = jnp.maximum(m_prev, jnp.max(sc, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p_ = jnp.where(valid, jnp.exp(sc - m_new), 0.0)
+            l_new = l_ref[:, 0:1] * alpha + jnp.sum(p_, axis=-1, keepdims=True)
+            vflat = jnp.where(
+                col_valid, vbuf[slot].reshape(P * bs, H * D).astype(jnp.float32), 0.0
+            )
+            pv = jax.lax.dot_general(
+                p_, vflat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (H*G, H*D); head h's output is its diagonal block
+            for h in range(H):
+                acc_ref[h] = acc_ref[h] * alpha[h * G : (h + 1) * G] + pv[
+                    h * G : (h + 1) * G, h * D : (h + 1) * D
+                ]
+            m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+            l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+            return
+
+        kv_pos = super_start + jax.lax.broadcasted_iota(
+            jnp.int32, (group_pad, P * bs), 1
+        )
+        valid = kv_pos < seq_len
         for h in range(num_kv_heads):
             q = q_ref[h].astype(jnp.float32) * scale  # (G, D)
-            if kv_layout == "HND":
-                k = kbuf[slot, h].astype(jnp.float32)  # (P*bs, D)
-            else:
-                k = kbuf[slot, :, h, :].astype(jnp.float32)  # (P*bs, D)
+            k = kbuf[slot, h].astype(jnp.float32)  # (P*bs, D)
             sc = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )  # (G, P*bs)
@@ -134,7 +180,7 @@ def _decode_kernel(
             p_ = jnp.exp(sc - m_new)
             p_ = jnp.where(valid, p_, 0.0)
             l_new = l_ref[rows, 0:1] * alpha + jnp.sum(p_, axis=-1, keepdims=True)
-            vh = vbuf[slot, h] if kv_layout == "HND" else vbuf[slot, :, h, :]
+            vh = vbuf[slot, h]
             v = jnp.where(col_valid, vh.astype(jnp.float32), 0.0)
             pv = jax.lax.dot_general(
                 p_, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
