@@ -1,0 +1,89 @@
+"""XLA-tier sampling: TPU-native approximate top-k selection.
+
+``jax.lax.top_k`` over a 32k vocab costs ~57 µs on v5e (full reduction
+network); ``jax.lax.approx_max_k`` — the hardware-binned TPU algorithm —
+returns the same heads in ~9 µs at recall_target=0.95.  For *sampling*
+(inherently stochastic, mass concentrated in the head) the approximate
+candidate set is the standard TPU serving trade; the golden `ref` tier
+stays exact and is what deterministic tests pin.
+
+Replaces the reference TTX sample kernels
+(backends/ttx/kernels/npu/a2/sample.py, 1170 LoC) as the accelerated
+tier.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mojo_opset_tpu.core.operators.sampling import (
+    MojoTopKSampling,
+    MojoTopPSampling,
+    _sample_from_probs,
+)
+
+
+class XlaTopKSampling(MojoTopKSampling):
+    recall_target: float = 0.95
+
+    def forward(self, logits: jax.Array, key: Optional[jax.Array] = None) -> Tuple[jax.Array, jax.Array]:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        logits = logits.astype(jnp.float32)
+        top_k = max(min(self.top_k, logits.shape[-1]), self.min_tokens_to_keep)
+        topk_logits, topk_indices = jax.lax.approx_max_k(
+            logits, top_k, recall_target=self.recall_target, aggregate_to_topk=True
+        )
+        probs = jax.nn.softmax(topk_logits, axis=-1)
+        select = _sample_from_probs(probs, key)
+        next_tokens = jnp.take_along_axis(topk_indices, select, axis=-1)
+        next_probs = jnp.take_along_axis(probs, select, axis=-1)
+        return next_probs, next_tokens
+
+
+class XlaTopPSampling(MojoTopPSampling):
+    """Nucleus sampling via a binary-searched logit threshold — no sort.
+
+    The exact rule keeps the shortest descending-prob prefix with mass
+    >= top_p; thresholding at the logit where the kept mass first
+    reaches top_p selects the same set up to threshold quantization
+    (16 bisection steps => kept-mass error < ~1e-4 of a token's prob).
+    Each step is one fused masked-sum pass, so the whole filter is a few
+    streaming reads of the logits instead of a 32k-wide sort.
+    """
+
+    bisect_steps: int = 16
+
+    def forward(self, logits: jax.Array, key: Optional[jax.Array] = None) -> Tuple[jax.Array, jax.Array]:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        logits = logits.astype(jnp.float32)
+        lse = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+        probs = jnp.exp(logits - lse)
+
+        # floor: the min_tokens_to_keep-th largest logit must stay kept
+        mk = max(self.min_tokens_to_keep, 1)
+        kth = jax.lax.approx_max_k(logits, mk, aggregate_to_topk=True)[0][..., -1:]
+
+        hi = jnp.max(logits, axis=-1, keepdims=True)
+        lo = jnp.min(logits, axis=-1, keepdims=True)
+
+        def body(_, carry):
+            lo, hi = carry
+            mid = 0.5 * (lo + hi)
+            mass = jnp.sum(jnp.where(logits >= mid, probs, 0.0), axis=-1, keepdims=True)
+            too_much = mass > self.top_p
+            return jnp.where(too_much, mid, lo), jnp.where(too_much, hi, mid)
+
+        lo, hi = jax.lax.fori_loop(0, self.bisect_steps, body, (lo, hi))
+        # use `lo` (mass >= top_p side) so the token crossing the boundary
+        # is retained, matching the golden prefix rule
+        thresh = jnp.minimum(lo, kth)
+        filtered = jnp.where(logits >= thresh, probs, 0.0)
+        filtered = filtered / jnp.clip(jnp.sum(filtered, axis=-1, keepdims=True), min=1e-38)
+        select = _sample_from_probs(filtered, key)
+        next_probs = jnp.take_along_axis(filtered, select, axis=-1)
+        return next_probs, select.astype(jnp.int32)

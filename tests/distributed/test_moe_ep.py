@@ -115,3 +115,47 @@ def test_moe_ep_jit_end_to_end():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4)
     print("OK")
     """)
+
+
+
+def test_ep_collectives_appear_in_lowered_hlo():
+    """The EP pipeline's communication must be real collectives in the
+    compiled program (reference test_expert_parallel.py:169 checks the FX
+    graph captured the all-reduce; here we check the lowered HLO text)."""
+    run_distributed("""
+    import re
+    n = 4
+    mesh = Mesh(np.array(jax.devices()[:n]), ("ep",))
+    T, H, I, E, K = 8, 16, 32, 8, 2
+    moe = m.MojoMoE.get_backend_impl("xla")(E, K, H, I, ep_size=n, ep_axis_name="ep")
+
+    def f(up_w, down_w, x_full):
+        local = moe.replace(experts=moe.experts.replace(
+            up_proj_weight=up_w, down_proj_weight=down_w))
+        return local(x_full)
+
+    up_w = jax.random.normal(jax.random.PRNGKey(0), (E, 2 * I, H))
+    down_w = jax.random.normal(jax.random.PRNGKey(1), (E, H, I))
+    x = jax.random.normal(jax.random.PRNGKey(2), (T, H))
+    sharded = shard_map(f, mesh=mesh,
+                        in_specs=(P("ep", None, None), P("ep", None, None), P(None, None)),
+                        out_specs=P(None, None), check_vma=False)
+    txt = jax.jit(sharded).lower(up_w, down_w, x).as_text()
+    assert re.search(r"all-reduce|all_reduce|psum", txt), "no all-reduce in HLO"
+
+    moe_dp = m.MojoMoE.get_backend_impl("xla")(E, K, H, I, ep_size=n, ep_axis_name="ep",
+                                               dp_input=True)
+
+    def f_dp(up_w, down_w, x_shard):
+        local = moe_dp.replace(experts=moe_dp.experts.replace(
+            up_proj_weight=up_w, down_proj_weight=down_w))
+        return local(x_shard)
+
+    sharded_dp = shard_map(f_dp, mesh=mesh,
+                           in_specs=(P("ep", None, None), P("ep", None, None), P("ep", None)),
+                           out_specs=P("ep", None), check_vma=False)
+    txt_dp = jax.jit(sharded_dp).lower(up_w, down_w, x).as_text()
+    assert re.search(r"all-gather|all_gather", txt_dp), "no all-gather in dp_input HLO"
+    assert re.search(r"reduce-scatter|reduce_scatter|reduce_scatter_p", txt_dp), "no reduce-scatter in dp_input HLO"
+    print("collectives present")
+    """)
