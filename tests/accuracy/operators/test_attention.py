@@ -224,3 +224,28 @@ def test_paged_swa_prefill_and_decode():
         mask[0, max(0, sl - 1 - 4) :] = True
         want = np_attention(np.asarray(qd[i])[:, None], ki, vi, mask, scale)[:, 0]
         np.testing.assert_allclose(np.asarray(outd[i]), want, atol=2e-5, rtol=2e-5)
+
+
+def test_xla_swa_matches_golden():
+    """Chunked online-softmax SWA tier vs the dense golden, across window
+    configs and varlen batches (chunk boundary at 256 exercised)."""
+    import itertools
+
+    T_lens, kv_lens = (300, 200), (300, 260)
+    cu_q = jnp.asarray(np.concatenate([[0], np.cumsum(T_lens)]), jnp.int32)
+    cu_kv = jnp.asarray(np.concatenate([[0], np.cumsum(kv_lens)]), jnp.int32)
+    T, Tk = int(cu_q[-1]), int(cu_kv[-1])
+    q = randn(0, (T, 8, 32))
+    k = randn(1, (Tk, 2, 32))
+    v = randn(2, (Tk, 2, 32))
+    for local, glob in [(64, None), (None, 32), (64, 32), (None, None)]:
+        ref = m.MojoSWA.get_backend_impl("ref")(
+            local_window_size=local, global_window_size=glob)
+        xla = m.MojoSWA.get_backend_impl("xla")(
+            local_window_size=local, global_window_size=glob)
+        want = ref(q, k, v, cu_q, cu_kv)
+        got = xla(q, k, v, cu_q, cu_kv)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5,
+            err_msg=f"local={local} glob={glob}",
+        )
