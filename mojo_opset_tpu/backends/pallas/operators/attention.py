@@ -16,6 +16,10 @@ import math
 
 from mojo_opset_tpu.backends.pallas.kernels.flash_prefill import paged_prefill_gqa
 from mojo_opset_tpu.backends.pallas.kernels.paged_decode import paged_decode_gqa
+from mojo_opset_tpu.experimental.operators.kv_quant_attention import (
+    MojoPagedDecodeGQAWithKVDequant,
+    MojoPagedPrefillGQAWithKVDequant,
+)
 from mojo_opset_tpu.core.operators.attention import (
     MojoPagedDecodeGQA,
     MojoPagedPrefillGQA,
@@ -171,3 +175,99 @@ class PallasPrefillGQA(MojoPrefillGQA):
         )
         # (B, Hq, S, D) -> (B, S, Hq, D) to match the op contract
         return jnp.swapaxes(out, 1, 2).astype(query.dtype)
+
+
+class PallasPagedDecodeGQAWithKVDequant(MojoPagedDecodeGQAWithKVDequant):
+    """int8-KV decode through the unmodified flash kernel: the per-channel
+    key scale folds into the query before the kernel and the value scale
+    applies to the output after it (scores/PV are linear in those scales),
+    so the kernel streams int8 pages — half the HBM traffic of bf16."""
+
+    def forward(
+        self,
+        query: jax.Array,
+        query_scale: Optional[jax.Array],
+        key_cache: jax.Array,
+        key_scale: jax.Array,
+        value_cache: jax.Array,
+        value_scale: jax.Array,
+        total_seq_lens: jax.Array,
+        block_tables: jax.Array,
+        softmax_scale: Optional[float] = None,
+        mask: Optional[jax.Array] = None,
+        *,
+        max_total_seq_len: Optional[int] = None,
+    ) -> jax.Array:
+        interpret = pallas_interpret_mode()
+        if (
+            self.compute_dtype == jnp.int8
+            or mask is not None
+            or query_scale is not None
+            or (not interpret and query.shape[-1] % 128 != 0)
+        ):
+            return MojoPagedDecodeGQAWithKVDequant.forward(
+                self, query, query_scale, key_cache, key_scale, value_cache,
+                value_scale, total_seq_lens, block_tables, softmax_scale,
+                mask, max_total_seq_len=max_total_seq_len,
+            )
+        Hq, Hkv = query.shape[1], key_cache.shape[1]
+        ks, vs = self._expand_scales(key_scale, value_scale, Hq, Hkv)
+        q_folded = (query.astype(jnp.float32) * ks.astype(jnp.float32)[None]).astype(
+            jnp.bfloat16
+        )
+        out = paged_decode_gqa(
+            q_folded, key_cache, value_cache, total_seq_lens, block_tables,
+            softmax_scale=softmax_scale, gqa_layout=self.gqa_layout,
+            interpret=interpret, kv_layout="HND",
+        )
+        return (out.astype(jnp.float32) * vs.astype(jnp.float32)[None]).astype(query.dtype)
+
+
+class PallasPagedPrefillGQAWithKVDequant(MojoPagedPrefillGQAWithKVDequant):
+    """int8-KV varlen prefill via the same scale-folding trick."""
+
+    def forward(
+        self,
+        query: jax.Array,
+        query_scale: Optional[jax.Array],
+        key_cache: jax.Array,
+        key_scale: jax.Array,
+        value_cache: jax.Array,
+        value_scale: jax.Array,
+        cu_q_lens: jax.Array,
+        block_tables: jax.Array,
+        softmax_scale: Optional[float] = None,
+        cu_total_seq_lens: Optional[jax.Array] = None,
+        mask: Optional[jax.Array] = None,
+        max_q_len: Optional[int] = None,
+        max_total_seq_len: Optional[int] = None,
+    ) -> jax.Array:
+        interpret = pallas_interpret_mode()
+        if (
+            self.compute_dtype == jnp.int8
+            or not self.is_causal
+            or mask is not None
+            or query_scale is not None
+            or self.gqa_layout != "AABB"
+            or query.shape[0] < 8
+            or (not interpret and query.shape[-1] % 128 != 0)
+        ):
+            return MojoPagedPrefillGQAWithKVDequant.forward(
+                self, query, query_scale, key_cache, key_scale, value_cache,
+                value_scale, cu_q_lens, block_tables, softmax_scale,
+                cu_total_seq_lens, mask, max_q_len, max_total_seq_len,
+            )
+        Hq, Hkv = query.shape[1], key_cache.shape[1]
+        ks, vs = self._expand_scales(key_scale, value_scale, Hq, Hkv)
+        q_folded = (query.astype(jnp.float32) * ks.astype(jnp.float32)[None]).astype(
+            jnp.bfloat16
+        )
+        q_lens = seq_lens_from_cu(cu_q_lens)
+        kv_lens = q_lens if cu_total_seq_lens is None else seq_lens_from_cu(cu_total_seq_lens)
+        out = paged_prefill_gqa(
+            q_folded, key_cache, value_cache, cu_q_lens, block_tables,
+            kv_lens.astype(jnp.int32),
+            softmax_scale=softmax_scale, gqa_layout=self.gqa_layout,
+            interpret=interpret, kv_layout="HND",
+        )
+        return (out.astype(jnp.float32) * vs.astype(jnp.float32)[None]).astype(query.dtype)
