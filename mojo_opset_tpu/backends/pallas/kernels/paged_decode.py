@@ -49,6 +49,8 @@ def _decode_kernel(
     num_kv_heads: int,
     group_pad: int,
     kv_layout: str,
+    local_window: int | None = None,
+    global_window: int | None = None,
 ):
     b = pl.program_id(0)
     s = pl.program_id(1)
@@ -56,12 +58,28 @@ def _decode_kernel(
     P = pages_per_fetch
     bs = block_size
     seq_len = seq_lens_ref[b]
+    # sliding/global window: keep = causal ∧ (local ∨ global), i.e. only
+    # positions in [seq_len-1-local, seq_len) ∪ [0, global).  With only a
+    # global window the local branch admits nothing (win_lo = seq_len).
+    if local_window is not None:
+        win_lo = jnp.maximum(seq_len - 1 - local_window, 0)
+    elif global_window is not None:
+        win_lo = seq_len
+    else:
+        win_lo = jnp.int32(0)
+    g_hi = jnp.int32(global_window) if global_window is not None else jnp.int32(0)
+
+    def page_needed(page_pos):
+        need = page_pos < seq_len
+        if local_window is not None or global_window is not None:
+            need &= (page_pos + bs > win_lo) | (page_pos < g_hi)
+        return need
 
     def start_fetch(super_idx, slot):
         for p in range(P):
             page_pos = (super_idx * P + p) * bs
 
-            @pl.when(page_pos < seq_len)
+            @pl.when(page_needed(page_pos))
             def _():
                 blk = block_tables_ref[b, super_idx * P + p]
                 blk = jnp.where(blk < 0, 0, blk)
@@ -78,7 +96,7 @@ def _decode_kernel(
         for p in range(P):
             page_pos = (super_idx * P + p) * bs
 
-            @pl.when(page_pos < seq_len)
+            @pl.when(page_needed(page_pos))
             def _():
                 if kv_layout == "HND":
                     kdst = kbuf.at[slot, :, pl.ds(p * bs, bs), :]
@@ -104,14 +122,19 @@ def _decode_kernel(
     def _prefetch():
         start_fetch(s + 1, jax.lax.rem(s + 1, 2))
 
-    @pl.when(super_start < seq_len)
+    super_needed = super_start < seq_len
+    if local_window is not None or global_window is not None:
+        super_needed &= (super_start + P * bs > win_lo) | (super_start < g_hi)
+
+    @pl.when(super_needed)
     def _compute():
         wait_fetch(s, slot)
         # rows of K/V beyond seq_len were never DMA'd (uninitialized VMEM,
         # possibly NaN); zero them so 0-weighted rows can't poison the dot.
-        col_valid = (
-            super_start + jax.lax.broadcasted_iota(jnp.int32, (P * bs, 1), 0)
-        ) < seq_len
+        col_pos = super_start + jax.lax.broadcasted_iota(jnp.int32, (P * bs, 1), 0)
+        col_valid = col_pos < seq_len
+        if local_window is not None or global_window is not None:
+            col_valid &= (col_pos >= win_lo) | (col_pos < g_hi)
         if kv_layout == "NHD":
             # Per-head slices of the (P*bs, Hkv, D) slab are sublane-strided
             # (each VMEM tile re-read Hkv times -> ~2x slower end to end).
@@ -124,10 +147,12 @@ def _decode_kernel(
             G = group_pad
             D = q_ref.shape[-1]
             H = num_kv_heads
-            valid = (
-                super_start
-                + jax.lax.broadcasted_iota(jnp.int32, (H * G, P * bs), 1)
-            ) < seq_len
+            vpos = super_start + jax.lax.broadcasted_iota(
+                jnp.int32, (H * G, P * bs), 1
+            )
+            valid = vpos < seq_len
+            if local_window is not None or global_window is not None:
+                valid &= (vpos >= win_lo) | (vpos < g_hi)
             eye = (
                 jax.lax.broadcasted_iota(jnp.int32, (H, 1, H, 1), 0)
                 == jax.lax.broadcasted_iota(jnp.int32, (H, 1, H, 1), 2)
@@ -165,6 +190,8 @@ def _decode_kernel(
             jnp.int32, (group_pad, P * bs), 1
         )
         valid = kv_pos < seq_len
+        if local_window is not None or global_window is not None:
+            valid &= (kv_pos >= win_lo) | (kv_pos < g_hi)
         for h in range(num_kv_heads):
             q = q_ref[h].astype(jnp.float32) * scale  # (G, D)
             k = kbuf[slot, h].astype(jnp.float32)  # (P*bs, D)
@@ -201,7 +228,10 @@ def _decode_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("softmax_scale", "gqa_layout", "pages_per_fetch", "interpret", "kv_layout"),
+    static_argnames=(
+        "softmax_scale", "gqa_layout", "pages_per_fetch", "interpret", "kv_layout",
+        "local_window", "global_window",
+    ),
 )
 def paged_decode_gqa(
     query: jax.Array,  # (B, Hq, D)
@@ -214,6 +244,8 @@ def paged_decode_gqa(
     pages_per_fetch: int = 16,
     interpret: bool = False,
     kv_layout: str = "HND",
+    local_window: int | None = None,
+    global_window: int | None = None,
 ) -> jax.Array:
     B, Hq, D = query.shape
     if kv_layout == "HND":
@@ -273,6 +305,8 @@ def paged_decode_gqa(
             num_kv_heads=Hkv,
             group_pad=group_pad,
             kv_layout=kv_layout,
+            local_window=local_window,
+            global_window=global_window,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, group_pad, D), query.dtype),

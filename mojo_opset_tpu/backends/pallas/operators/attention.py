@@ -21,6 +21,7 @@ from mojo_opset_tpu.experimental.operators.kv_quant_attention import (
     MojoPagedPrefillGQAWithKVDequant,
 )
 from mojo_opset_tpu.core.operators.attention import (
+    MojoPagedDecodeSWA,
     MojoPagedDecodeGQA,
     MojoPagedPrefillGQA,
     MojoPrefillGQA,
@@ -271,3 +272,36 @@ class PallasPagedPrefillGQAWithKVDequant(MojoPagedPrefillGQAWithKVDequant):
             interpret=interpret, kv_layout="HND",
         )
         return (out.astype(jnp.float32) * vs.astype(jnp.float32)[None]).astype(query.dtype)
+
+
+class PallasPagedDecodeSWA(MojoPagedDecodeSWA):
+    """Windowed paged decode: the flash decode kernel skips DMA + compute
+    for pages entirely outside [seq_len-1-local, seq_len) ∪ [0, global),
+    so cost tracks the window size instead of the context length."""
+
+    def forward(
+        self,
+        query: jax.Array,
+        key_cache: jax.Array,
+        value_cache: jax.Array,
+        total_seq_lens: jax.Array,
+        block_table: jax.Array,
+        softmax_scale: Optional[float] = None,
+        *,
+        max_total_seq_len: Optional[int] = None,
+    ) -> jax.Array:
+        interpret = pallas_interpret_mode()
+        if not self.is_causal or (not interpret and query.shape[-1] % 128 != 0):
+            return MojoPagedDecodeSWA.forward(
+                self, query, key_cache, value_cache, total_seq_lens, block_table,
+                softmax_scale, max_total_seq_len=max_total_seq_len,
+            )
+        # (measured: matching the super size to the window costs more in
+        # grid-step overhead than it saves in DMA — keep the default 16)
+        return paged_decode_gqa(
+            query, key_cache, value_cache, total_seq_lens, block_table,
+            softmax_scale=softmax_scale, gqa_layout=self.gqa_layout,
+            interpret=interpret, kv_layout=self.kv_layout,
+            local_window=self.local_window_size,
+            global_window=self.global_window_size,
+        )

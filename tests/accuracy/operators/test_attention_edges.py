@@ -184,3 +184,25 @@ def test_prefill_single_token_sequences():
     want = decode(q, case["key_cache"], case["value_cache"], case["seq_lens"],
                   case["block_tables"])
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+def test_pallas_paged_decode_swa_matches_golden():
+    """Window-skipping flash decode vs the dense golden, across window
+    configs (interpret mode; page-skip arithmetic exercised)."""
+    case = make_paged_case(key=41, hq=8, hkv=2, head_dim=16,
+                           seq_lens=(200, 70), block_size=4, max_blocks=50,
+                           n_blocks=128)
+    q = randn(43, (2, 8, 16))
+    for local, glob in [(16, None), (None, 12), (16, 12), (None, None)]:
+        ref = m.MojoPagedDecodeSWA.get_backend_impl("ref")(
+            local_window_size=local, global_window_size=glob)
+        pal = m.MojoPagedDecodeSWA.get_backend_impl("pallas")(
+            local_window_size=local, global_window_size=glob)
+        want = ref(q, case["key_cache"], case["value_cache"], case["seq_lens"],
+                   case["block_tables"])
+        got = pal(q, case["key_cache"], case["value_cache"], case["seq_lens"],
+                  case["block_tables"])
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5,
+            err_msg=f"local={local} glob={glob}",
+        )
