@@ -359,3 +359,32 @@ def test_lightning_indexer_and_full_indexer():
     topk, score, kc, ksc = idx(x, qr, 0, freqs, None, kc, ksc)
     assert topk.shape == (2, 6, 4)
     assert score.shape == (2, 6, 6)
+
+
+def test_xla_mla_absorbed_matches_golden_paged():
+    """Absorbed-MQA flash MLA tier vs the decompress-everything golden,
+    decode + chunked prefill."""
+    kw = dict(MLA_KW, use_attn_sink=True)
+    ref_d = exp.MojoPagedDecodeMLA.get_backend_impl("ref")(**kw, key=jax.random.PRNGKey(5))
+    xla_d = exp.MojoPagedDecodeMLA.get_backend_impl("xla")(**kw, key=jax.random.PRNGKey(5))
+    xla_d = xla_d.replace(kv_b_proj=ref_d.kv_b_proj, attn_sink=ref_d.attn_sink)
+
+    B, bs, N = 2, 4, 8
+    ckv = randn(1, (N, 1, bs, 16))
+    kpe = randn(2, (N, 1, bs, 4))
+    lens = jnp.array([10, 5], jnp.int32)
+    bt = jnp.array([[2, 4, 6], [1, 3, -1]], jnp.int32)
+    q = randn(0, (B, 4, 12))
+    want = ref_d(q, ckv, kpe, lens, bt)
+    got = xla_d(q, ckv, kpe, lens, bt)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+    ref_p = exp.MojoPagedPrefillMLA.get_backend_impl("ref")(**MLA_KW, key=jax.random.PRNGKey(6))
+    xla_p = exp.MojoPagedPrefillMLA.get_backend_impl("xla")(**MLA_KW, key=jax.random.PRNGKey(6))
+    xla_p = xla_p.replace(kv_b_proj=ref_p.kv_b_proj)
+    cu = jnp.array([0, 3, 5], jnp.int32)
+    cu_tot = jnp.array([0, 10, 15], jnp.int32)
+    qp = randn(7, (5, 4, 12))
+    want_p = ref_p(qp, ckv, kpe, cu, bt, None, cu_tot)
+    got_p = xla_p(qp, ckv, kpe, cu, bt, None, cu_tot)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p), atol=2e-5, rtol=2e-5)
