@@ -18,6 +18,7 @@ from mojo_opset_tpu.backends.pallas.kernels.flash_prefill import paged_prefill_g
 from mojo_opset_tpu.backends.pallas.kernels.paged_decode import paged_decode_gqa
 from mojo_opset_tpu.experimental.operators.kv_quant_attention import (
     MojoPagedDecodeGQAWithKVDequant,
+    MojoPagedDecodeSWAWithKVDequant,
     MojoPagedPrefillGQAWithKVDequant,
 )
 from mojo_opset_tpu.core.operators.attention import (
@@ -305,3 +306,38 @@ class PallasPagedDecodeSWA(MojoPagedDecodeSWA):
             local_window=self.local_window_size,
             global_window=self.global_window_size,
         )
+
+
+class PallasPagedDecodeSWAWithKVDequant(MojoPagedDecodeSWAWithKVDequant):
+    """int8-KV windowed decode: scale folding (see GQA dequant tier) plus
+    window page-skipping in one kernel pass."""
+
+    def forward(
+        self, query, query_scale, key_cache, key_scale, value_cache, value_scale,
+        total_seq_lens, block_table, softmax_scale=None, *, max_total_seq_len=None,
+    ):
+        interpret = pallas_interpret_mode()
+        if (
+            self.compute_dtype == jnp.int8
+            or not self.is_causal
+            or query_scale is not None
+            or (not interpret and query.shape[-1] % 128 != 0)
+        ):
+            return MojoPagedDecodeSWAWithKVDequant.forward(
+                self, query, query_scale, key_cache, key_scale, value_cache,
+                value_scale, total_seq_lens, block_table, softmax_scale,
+                max_total_seq_len=max_total_seq_len,
+            )
+        Hq, Hkv = query.shape[1], key_cache.shape[1]
+        ks, vs = self._expand_scales(key_scale, value_scale, Hq, Hkv)
+        q_folded = (query.astype(jnp.float32) * ks.astype(jnp.float32)[None]).astype(
+            jnp.bfloat16
+        )
+        out = paged_decode_gqa(
+            q_folded, key_cache, value_cache, total_seq_lens, block_table,
+            softmax_scale=softmax_scale, gqa_layout=self.gqa_layout,
+            interpret=interpret, kv_layout="HND",
+            local_window=self.local_window_size,
+            global_window=self.global_window_size,
+        )
+        return (out.astype(jnp.float32) * vs.astype(jnp.float32)[None]).astype(query.dtype)

@@ -206,3 +206,29 @@ def test_pallas_paged_decode_swa_matches_golden():
             np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5,
             err_msg=f"local={local} glob={glob}",
         )
+
+
+def test_pallas_int8_swa_decode_matches_golden():
+    """Scale folding + window skipping composed, vs the dequant golden."""
+    N, Hkv, bs, D, B = 32, 2, 4, 16, 2
+    rng = np.random.default_rng(7)
+    kc8 = jnp.asarray(rng.integers(-127, 127, (N, Hkv, bs, D)), jnp.int8)
+    vc8 = jnp.asarray(rng.integers(-127, 127, (N, Hkv, bs, D)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.005, 0.02, (Hkv, D)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.005, 0.02, (Hkv, D)), jnp.float32)
+    q = randn(51, (B, 4, D), jnp.bfloat16)
+    lens = jnp.array([60, 17], jnp.int32)
+    bt = jnp.arange(B * 16, dtype=jnp.int32).reshape(B, 16)
+    import mojo_opset_tpu.experimental as exp
+
+    for local, glob in [(12, None), (12, 8), (None, None)]:
+        ref = exp.MojoPagedDecodeSWAWithKVDequant.get_backend_impl("ref")(
+            local_window_size=local, global_window_size=glob)
+        pal = exp.MojoPagedDecodeSWAWithKVDequant.get_backend_impl("pallas")(
+            local_window_size=local, global_window_size=glob)
+        want = ref(q, None, kc8, ks, vc8, vs, lens, bt)
+        got = pal(q, None, kc8, ks, vc8, vs, lens, bt)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            atol=5e-3, rtol=5e-2, err_msg=f"local={local} glob={glob}",
+        )
