@@ -3,3 +3,4 @@ import mojo_opset_tpu.backends.pallas.operators.gemm  # noqa: F401
 import mojo_opset_tpu.backends.pallas.operators.moe  # noqa: F401
 import mojo_opset_tpu.backends.pallas.operators.normalization  # noqa: F401
 import mojo_opset_tpu.backends.pallas.operators.kv_cache  # noqa: F401
+import mojo_opset_tpu.backends.pallas.operators.mla  # noqa: F401

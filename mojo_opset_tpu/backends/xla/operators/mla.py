@@ -75,7 +75,7 @@ class XlaPagedDecodeMLA(MojoPagedDecodeMLA):
             phys = block_tables[:, logical_block]  # (B,)
             safe = jnp.clip(phys, 0, compressed_kv_cache.shape[0] - 1)
             c = compressed_kv_cache[safe, 0].astype(jnp.float32)  # (B, bs, r)
-            pe = k_pe_cache[safe, 0].astype(jnp.float32)  # (B, bs, dr)
+            pe = k_pe_cache[safe, 0, :, :dr].astype(jnp.float32)  # (B, bs, dr)
             s = jnp.einsum("bhr,bsr->bhs", q_lat, c) + jnp.einsum(
                 "bhd,bsd->bhs", q_pe, pe
             )
@@ -140,7 +140,7 @@ class XlaPagedPrefillMLA(MojoPagedPrefillMLA):
             phys = block_tables[token_batch, logical_block]  # (T,)
             safe = jnp.clip(phys, 0, compressed_kv_cache.shape[0] - 1)
             c = compressed_kv_cache[safe, 0].astype(jnp.float32)  # (T, bs, r)
-            pe = k_pe_cache[safe, 0].astype(jnp.float32)
+            pe = k_pe_cache[safe, 0, :, :dr].astype(jnp.float32)
             s = jnp.einsum("thr,tsr->ths", q_lat, c) + jnp.einsum(
                 "thd,tsd->ths", q_pe, pe
             )

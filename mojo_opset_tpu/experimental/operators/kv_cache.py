@@ -41,7 +41,7 @@ class MojoStorePagedMLAKVCache(MojoOperator):
         compressed_kv_cache = compressed_kv_cache.at[dst_block, 0, dst_offset, :].set(
             compressed_kv_states.astype(compressed_kv_cache.dtype), mode="drop"
         )
-        k_pe_cache = k_pe_cache.at[dst_block, 0, dst_offset, :].set(
+        k_pe_cache = k_pe_cache.at[dst_block, 0, dst_offset, : k_pe_states.shape[-1]].set(
             k_pe_states.astype(k_pe_cache.dtype), mode="drop"
         )
         return compressed_kv_cache, k_pe_cache

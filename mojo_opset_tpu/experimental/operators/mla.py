@@ -161,7 +161,8 @@ class MojoPagedDecodeMLA(_MLAConfigMixin, MojoOperator):
             softmax_scale = 1.0 / math.sqrt(self.qk_head_dim)
 
         c_kv = gather_paged_flat(compressed_kv_cache, block_tables)  # (B, K, r)
-        k_pe = gather_paged_flat(k_pe_cache, block_tables)  # (B, K, dr)
+        # rope cache may be lane-padded beyond dr (TPU DMA alignment)
+        k_pe = gather_paged_flat(k_pe_cache, block_tables)[..., : self.qk_rope_head_dim]
         K = c_kv.shape[1]
         k_nope, v = self._decompress(c_kv)  # (B,K,H,*)
         k = jnp.concatenate(
@@ -266,7 +267,7 @@ class MojoPagedPrefillMLA(_MLAConfigMixin, MojoOperator):
         B = q_lens.shape[0]
 
         c_kv = gather_paged_flat(compressed_kv_cache, block_tables)  # (B,K,r)
-        k_pe = gather_paged_flat(k_pe_cache, block_tables)
+        k_pe = gather_paged_flat(k_pe_cache, block_tables)[..., : self.qk_rope_head_dim]
         K = c_kv.shape[1]
         k_nope, v = self._decompress(c_kv)
         k = jnp.concatenate(

@@ -108,7 +108,9 @@ class MLARuntimeState(PagedAttentionRuntimeState):
         mc = config.model_config
         total_blocks = self.free_blocks.shape[0]
         r = mc.extra["kv_lora_rank"]
-        dr = mc.extra["qk_rope_head_dim"]
+        # rope lanes padded to 128 so the Pallas MLA kernel can DMA whole
+        # pages (Mosaic requires 128-aligned minor dims); ops slice to dr
+        dr = -(-mc.extra["qk_rope_head_dim"] // 128) * 128
         self.caches = KVCaches(
             [jnp.zeros((total_blocks, 1, self.block_size, r), self.dtype)
              for _ in range(mc.num_layers)],

@@ -346,6 +346,14 @@ class PerfMojoGenerator(MojoGenerator):
         rng = np.random.default_rng(0)
         input_ids = rng.integers(0, vocab_size, (batch_size * seqlen,)).astype(np.int32)
         context_input_len = np.full((batch_size,), seqlen, np.int32)
+        # warm run first: the first call pays XLA compilation (20-100 s on
+        # a remote-compile TPU), which must not land in the latency record
+        n_before = len(self.perf_hook.records)
+        self.generate_from_ids(
+            input_ids, context_input_len,
+            max_decode_steps=max_decode_steps, ignore_eos=True, silent=True,
+        )
+        del self.perf_hook.records[n_before:]
         self.generate_from_ids(
             input_ids, context_input_len,
             max_decode_steps=max_decode_steps, ignore_eos=True, silent=True,

