@@ -28,6 +28,7 @@ from mojo_opset_tpu.core.operators import (
     MojoPagedPrefillGQA,
     MojoRMSNorm,
     MojoRotaryEmbedding,
+    MojoSdpa,
     MojoSilu,
     MojoStorePagedKVCache,
 )
@@ -136,6 +137,22 @@ class Qwen3Attention(Module):
         out = self.o_proj(attn.reshape(T, self.num_heads * self.head_dim))
         return out, caches
 
+    def dense_forward(self, hidden: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+        """Non-paged causal self-attention for training, (B, S, hidden) in/out."""
+        B, S, _ = hidden.shape
+        q = self.q_proj(hidden).reshape(B, S, self.num_heads, self.head_dim)
+        k = self.k_proj(hidden).reshape(B, S, self.num_kv_heads, self.head_dim)
+        v = self.v_proj(hidden).reshape(B, S, self.num_kv_heads, self.head_dim)
+        q = self.q_norm(q)
+        k = self.k_norm(k)
+        q, k = self.apply_rope(q, k, cos, sin, head_first=False)
+        q, k, v = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))
+        sdpa = MojoSdpa(enable_gqa=True)
+        causal = jnp.tril(jnp.ones((S, S), bool))
+        o = sdpa(q, k, v, attn_mask=causal)
+        o = jnp.swapaxes(o, 1, 2).reshape(B, S, -1)
+        return self.o_proj(o)
+
 
 class Qwen3MLP(Module):
     def __init__(self, config: Qwen3Config, key: jax.Array):
@@ -168,6 +185,14 @@ class Qwen3DecoderLayer(Module):
         hidden = residual + self.mlp(hidden)
         return hidden, caches
 
+    def dense_forward(self, hidden, cos, sin):
+        residual = hidden
+        hidden = self.input_layernorm(hidden)
+        hidden = residual + self.self_attn.dense_forward(hidden, cos, sin)
+        residual = hidden
+        hidden = residual + self.mlp(self.post_attention_layernorm(hidden))
+        return hidden
+
 
 class Qwen3Model(Module):
     def __init__(self, config: Qwen3Config, key: jax.Array):
@@ -187,6 +212,18 @@ class Qwen3Model(Module):
         for layer_idx, layer in enumerate(self.layers):
             hidden, caches = layer(hidden, cos, sin, meta, caches, layer_idx)
         return self.norm(hidden), caches
+
+    def dense_forward(self, input_ids: jax.Array) -> jax.Array:
+        """Training forward: full causal attention over padded (B, S) ids."""
+        B, S = input_ids.shape
+        hidden = self.embed_tokens(input_ids)
+        positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+        cos, sin = self.rotary_emb(hidden, position_ids=positions)
+        cos = cos.astype(hidden.dtype)
+        sin = sin.astype(hidden.dtype)
+        for layer in self.layers:
+            hidden = layer.dense_forward(hidden, cos, sin)
+        return self.norm(hidden)
 
 
 class Qwen3ForCausalLM(Module):
@@ -228,3 +265,18 @@ class Qwen3ForCausalLM(Module):
         else:
             logits = self.lm_head(hidden)
         return logits.astype(jnp.float32), caches
+
+    @property
+    def lm_head_weight(self) -> jax.Array:
+        """LM-head projection weight (vocab, hidden), tied or owned."""
+        return self.model.embed_tokens.weight if self.lm_head is None else self.lm_head.weight
+
+    def train_forward(self, input_ids: jax.Array) -> jax.Array:
+        """Dense (non-paged) training forward over padded (B, S) ids.
+
+        Returns final hidden states (B, S, hidden); pair with
+        ``fused_linear_cross_entropy(hidden, lm_head_weight, targets)`` for
+        the training loss (reference trains through the same op stack,
+        mojo_opset/core/functions/loss_function.py:10-160).
+        """
+        return self.model.dense_forward(input_ids)
