@@ -110,6 +110,23 @@ def main(argv=None):
     parser.add_argument("--package", default="tests.perf_new")
     args = parser.parse_args(argv)
 
+    # device pinning for the multi-device launcher (benchmark/launch.py):
+    # each worker process sweeps on its own device.
+    import os
+
+    dev_idx = os.environ.get("MOJO_LAUNCH_DEVICE")
+    if dev_idx is not None:
+        import contextlib
+
+        ctx = jax.default_device(jax.devices()[int(dev_idx)])
+        with contextlib.ExitStack() as stack:
+            stack.enter_context(ctx)
+            return _run_sweep(args)
+    return _run_sweep(args)
+
+
+def _run_sweep(args):
+
     discover_perf_specs(args.package)
     ops = args.ops.split(",") if args.ops else list(PERF_REGISTRY)
     providers = args.providers.split(",")

@@ -1,47 +1,14 @@
-"""Perf descriptors: activations, dense GEMM, embedding.
+"""Perf descriptors: dense GEMM / grouped GEMM / embedding.
 
-Reference rows: tests/perf/benchmark.md (TTXGelu (128,128) fp32, TTXSilu,
-TTXSwiGLU, TTXGemm) and tests/perf_new/operators/{activation,gemm}.py.
+Reference: tests/perf_new/operators/linear.py + benchmark.md TTXGroupGemm
+rows (input (20480,4096) bf16/fp16, 8 groups — 2.35/2.38 ms on 910B).
 """
 
+import jax
 import jax.numpy as jnp
 
 from mojo_opset_tpu.benchmark.api import mojo_perf, perf_case, tensor, PerfWorkload
 import mojo_opset_tpu as m
-
-
-ACT_CASES = [
-    perf_case("x128x128_fp32", tags=("smoke",), T=128, D=128, dtype="float32"),
-    perf_case("x4096x4096_bf16", tags=("smoke", "full"), T=4096, D=4096, dtype="bfloat16"),
-    perf_case("x8192x8192_bf16", tags=("full",), T=8192, D=8192, dtype="bfloat16"),
-]
-
-
-def _act_workload(case):
-    T, D = case.params["T"], case.params["D"]
-    dt = jnp.dtype(case.params["dtype"])
-    return PerfWorkload(
-        inputs={"x": tensor((T, D), dt)},
-        args=("x",),
-        read_bytes=T * D * dt.itemsize,
-        write_bytes=T * D * dt.itemsize,
-    )
-
-
-mojo_perf("Gelu", m.MojoGelu, ACT_CASES)(_act_workload)
-mojo_perf("Silu", m.MojoSilu, ACT_CASES)(_act_workload)
-
-
-@mojo_perf("SwiGLU", m.MojoSwiGLU, ACT_CASES)
-def swiglu_workload(case):
-    T, D = case.params["T"], case.params["D"]
-    dt = jnp.dtype(case.params["dtype"])
-    return PerfWorkload(
-        inputs={"gate_out": tensor((T, D), dt), "up_out": tensor((T, D), dt)},
-        args=("gate_out", "up_out"),
-        read_bytes=2 * T * D * dt.itemsize,
-        write_bytes=T * D * dt.itemsize,
-    )
 
 
 GEMM_CASES = [
@@ -62,6 +29,37 @@ def gemm_workload(case):
         op_kwargs={"in_features": K, "out_features": N, "bias": False},
         state={"weight": "weight"},
         args=("input",),
+        flops=2 * M * K * N,
+    )
+
+
+GROUP_GEMM_CASES = [
+    perf_case("in20480x4096_g8_bf16", tags=("smoke", "refrow"), M=20480, K=4096, N=4096, G=8),
+    perf_case("in8192x4096_g16_bf16", tags=("full",), M=8192, K=4096, N=4096, G=16),
+]
+
+
+@mojo_perf("GroupGemm", m.MojoGroupGemm, GROUP_GEMM_CASES)
+def group_gemm_workload(case):
+    p = case.params
+    M, K, N, G = p["M"], p["K"], p["N"], p["G"]
+
+    def weight(spec):
+        return jax.random.normal(jax.random.PRNGKey(0), (G, K, N)).astype(jnp.bfloat16)
+
+    def group_list(spec):
+        base = M // G
+        return jnp.asarray([base] * (G - 1) + [M - base * (G - 1)], jnp.int32)
+
+    return PerfWorkload(
+        inputs={
+            "input": tensor((M, K), jnp.bfloat16),
+            "weight": tensor((G, K, N), jnp.bfloat16, creator=weight),
+            "group_list": tensor((G,), jnp.int32, creator=group_list),
+        },
+        op_kwargs={"weight": jnp.zeros((G, K, N), jnp.bfloat16)},
+        state={"weight": "weight"},
+        args=("input", "group_list"),
         flops=2 * M * K * N,
     )
 
