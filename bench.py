@@ -6,9 +6,17 @@ tests/perf/benchmark.md:13, 75.13 µs on Ascend NPU 910B with the TTX
 Triton backend).  ``vs_baseline`` is the speedup ratio baseline/ours
 (>1 means we are faster than the reference backend).
 
-Also runs a small Qwen3 paged-decode model sweep (tokens/sec/chip, the
-BASELINE.json metric of record) and includes it in the same JSON line as
-auxiliary fields.
+Auxiliary fields (same JSON line): the BASELINE.json metric of record —
+Qwen3 paged-decode tokens/sec/chip — measured at REAL Qwen3-4B geometry
+(36 layers / 2560 hidden / 32q+8kv heads / head_dim 128 / vocab 151936,
+bf16, ~4.4B params), plus prefill latency and HBM/MFU utilization.
+
+Remote-TPU notes: weights are initialized ON DEVICE inside one jitted
+program (the tunnel moves ~4 MB/s, so 8.8 GB of host-initialized weights
+would never arrive); the persistent compilation cache under .jax_cache
+makes warm reruns cheap; latencies use marginal (two-length) timing to
+cancel the tunnel's ~30 ms round-trip floor, matching steady-state
+serving where dispatch pipelines ahead of the device.
 """
 
 from __future__ import annotations
@@ -21,33 +29,20 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 BASELINE_PAGED_DECODE_US = 75.13  # tests/perf/benchmark.md:13 (NPU 910B, TTX)
 
-
-def _time_fn(fn, *args, iters=50, warmup=5):
-    from mojo_opset_tpu.benchmark import device_sync
-
-    for _ in range(warmup):
-        out = fn(*args)
-    device_sync(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    device_sync(out)
-    return (time.perf_counter() - t0) / iters
-
-
-def _device_time_us(fn, *args, iters=16, **kw):
-    from mojo_opset_tpu.benchmark import device_time_us
-
-    return device_time_us(fn, *args, iters=iters, **kw)
+V5E_HBM_GBPS = 819.0  # TPU v5e HBM bandwidth
+V5E_BF16_TFLOPS = 197.0  # TPU v5e bf16 MXU peak
 
 
 def bench_paged_decode_gqa():
-    """Reference shape: q (8, 16, 128) bf16; kv cache (·, 4, 32, 128);
-    seq len ~ up to 4 blocks/seq of 32 = 128 ctx... use the benchmark.md
-    row 13 layout: block tables (8, 4), block_size 32."""
+    """Reference shape: q (8, 16, 128) bf16; kv cache (., 4, 32, 128);
+    block tables (8, 4), block_size 32 (benchmark.md:13)."""
     import mojo_opset_tpu as m
+    from mojo_opset_tpu.benchmark import device_time_us
 
     B, Hq, Hkv, D = 8, 16, 4, 128
     block_size, blocks_per_seq = 32, 4
@@ -61,42 +56,70 @@ def bench_paged_decode_gqa():
     bt = jnp.arange(n_blocks, dtype=jnp.int32).reshape(B, blocks_per_seq)
 
     op = m.MojoPagedDecodeGQA()  # highest-priority tier for the platform
-    us = _device_time_us(lambda q, *r: op(q, *r), q, kc, vc, seq_lens, bt, iters=64)
+    us = device_time_us(lambda q, *r: op(q, *r), q, kc, vc, seq_lens, bt, iters=64)
     return us, type(op).__name__
 
 
-def bench_qwen3_decode_tokens_per_sec():
-    """Small-but-real Qwen3 paged decode throughput on one chip."""
-    from mojo_opset_tpu.modeling.qwen3 import Qwen3Config, Qwen3ForCausalLM
+def qwen3_4b_config():
+    """Real Qwen3-4B geometry (HF Qwen/Qwen3-4B config)."""
+    from mojo_opset_tpu.modeling.qwen3 import Qwen3Config
+
+    return Qwen3Config(
+        hidden_size=2560,
+        intermediate_size=9728,
+        num_attention_heads=32,
+        num_key_value_heads=8,
+        num_hidden_layers=36,
+        head_dim=128,
+        vocab_size=151936,
+        max_position_embeddings=4416,  # ctx 4000 + all timed decode windows
+        dtype=jnp.bfloat16,
+    )
+
+
+def _toy_config():
+    from mojo_opset_tpu.modeling.qwen3 import Qwen3Config
+
+    return Qwen3Config(
+        hidden_size=128, intermediate_size=256, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2, head_dim=32,
+        vocab_size=512, max_position_embeddings=2048, dtype=jnp.float32,
+    )
+
+
+def bench_qwen3_e2e(rec: dict):
+    """E2e PerfMojoGenerator protocol numbers at real Qwen3-4B geometry.
+
+    Decode: bs=8 @ ctx 4000 (protocol: generation.py:324-373), marginal
+    cost between a short and a long FusedDecode window.  Prefill: bs=1 at
+    512 tokens, marginal cost across pipelined calls (steady-state).
+    """
+    from mojo_opset_tpu.modeling.qwen3 import Qwen3ForCausalLM
     from mojo_opset_tpu.runtime import PagedAttentionGenerationModel
+    from mojo_opset_tpu.runtime.session import FusedDecode
+    from mojo_opset_tpu.utils.init import build_on_device
+    from mojo_opset_tpu.benchmark import device_sync
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
-    # Qwen3-0.6B-like geometry (real Qwen3 uses head_dim=128 at every size)
-    cfg = Qwen3Config(
-        hidden_size=1024 if on_tpu else 128,
-        intermediate_size=3072 if on_tpu else 256,
-        num_attention_heads=16 if on_tpu else 4,
-        num_key_value_heads=8 if on_tpu else 2,
-        num_hidden_layers=8 if on_tpu else 2,
-        head_dim=128 if on_tpu else 32,
-        vocab_size=32000 if on_tpu else 512,
-        max_position_embeddings=2048,
-        dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+    cfg = qwen3_4b_config() if on_tpu else _toy_config()
+
+    model = build_on_device(Qwen3ForCausalLM, cfg, key=jax.random.PRNGKey(0))
+    n_params = sum(l.size for l in jax.tree_util.tree_leaves(model) if hasattr(l, "size"))
+    rec["model_params_b"] = round(n_params / 1e9, 3)
+    rec["model_geometry"] = (
+        f"{cfg.num_hidden_layers}L/{cfg.hidden_size}h/"
+        f"{cfg.num_attention_heads}q{cfg.num_key_value_heads}kv/v{cfg.vocab_size}"
     )
-    from mojo_opset_tpu.runtime.session import FusedDecode
-
-    model = Qwen3ForCausalLM(cfg, key=jax.random.PRNGKey(0))
     gm = PagedAttentionGenerationModel(model, block_size=64)
-
-    B, S = 8, 256
     rng = np.random.default_rng(0)
-    ids = rng.integers(0, cfg.vocab_size, (B * S,)).astype(np.int32)
-    lens = np.full((B,), S, np.int32)
+
+    # ---- decode throughput, bs=8 @ ctx 4000 ----
+    B, CTX = 8, 4000
+    ids = rng.integers(0, cfg.vocab_size, (B * CTX,)).astype(np.int32)
+    lens = np.full((B,), CTX, np.int32)
     logits, session = gm(ids, context_input_len=lens)
     tok = jnp.argmax(logits, -1).astype(jnp.int32)
-
     fused = FusedDecode(model, sample_method="greedy")
-    from mojo_opset_tpu.benchmark import device_sync
 
     def timed(steps, reps=3):
         toks = fused(session, tok, steps)  # compile + warm
@@ -109,29 +132,69 @@ def bench_qwen3_decode_tokens_per_sec():
             best = min(best, time.perf_counter() - t0)
         return best
 
-    # steady-state tokens/sec from the marginal cost between two window
-    # lengths (cancels dispatch/fetch floor, like the per-op timer)
-    t_small, t_large = timed(32), timed(160)
-    per_step = (t_large - t_small) / 128
-    return B / per_step, cfg
+    # each timed(steps) advances the session by steps*(reps+1) tokens per
+    # sequence: 8*4 + 88*4 = 384 total, inside the 416-token budget above
+    t_small, t_large = timed(8), timed(88)
+    per_step = (t_large - t_small) / 80
+    rec["qwen3_decode_tok_s_chip"] = round(B / per_step, 1)
+    rec["qwen3_decode_ms_step"] = round(per_step * 1e3, 2)
+    # HBM roofline: every step reads all weights + this batch's KV window
+    weight_bytes = n_params * 2
+    kv_bytes = (
+        cfg.num_hidden_layers * 2 * B * CTX
+        * cfg.num_key_value_heads * cfg.head_dim * 2
+    )
+    rec["qwen3_decode_hbm_util"] = round(
+        (weight_bytes + kv_bytes) / per_step / (V5E_HBM_GBPS * 1e9), 3
+    )
+
+    # ---- prefill latency, bs=1 @ 512 (marginal across pipelined calls,
+    # session reused — serving allocates the KV pool once) ----
+    del session, logits, tok  # free the 5 GB decode cache pool first
+    S = 512
+    pids = rng.integers(0, cfg.vocab_size, (S,)).astype(np.int32)
+    plens = np.full((1,), S, np.int32)
+    psession = gm._new_session(pids, plens)
+    _, psession = gm(pids, context_input_len=plens, session=psession)  # compile
+
+    def run_k(k):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(k):
+            psession.reset()
+            out, _ = gm(pids, context_input_len=plens, session=psession)
+        device_sync(out)
+        return time.perf_counter() - t0
+
+    run_k(2)  # settle
+    t4 = min(run_k(4) for _ in range(2))
+    t8 = min(run_k(8) for _ in range(2))
+    prefill_s = (t8 - t4) / 4
+    rec["qwen3_prefill512_ms"] = round(prefill_s * 1e3, 2)
+    model_flops = 2 * n_params * S
+    rec["qwen3_prefill512_mfu"] = round(
+        model_flops / prefill_s / (V5E_BF16_TFLOPS * 1e12), 3
+    )
+    return rec
 
 
 def main():
     us, impl = bench_paged_decode_gqa()
-    toks, cfg = bench_qwen3_decode_tokens_per_sec()
-    result = {
-        "metric": "paged_decode_gqa_q8x16x128_bf16_us",
+    rec = {
+        "metric": "paged_decode_gqa_us",
         "value": round(us, 2),
         "unit": "us",
-        "vs_baseline": round(BASELINE_PAGED_DECODE_US / us, 3),
-        "baseline_us": BASELINE_PAGED_DECODE_US,
+        "vs_baseline": round(BASELINE_PAGED_DECODE_US / us, 2),
         "impl": impl,
-        "backend": jax.default_backend(),
-        "qwen3_decode_tok_per_sec_per_chip": round(toks, 1),
-        "qwen3_bench_layers": cfg.num_hidden_layers,
-        "qwen3_bench_hidden": cfg.hidden_size,
+        "baseline_us": BASELINE_PAGED_DECODE_US,
+        "baseline_hw": "Ascend NPU 910B (TTX Triton)",
+        "hw": str(jax.devices()[0]),
     }
-    print(json.dumps(result))
+    try:
+        bench_qwen3_e2e(rec)
+    except Exception as exc:  # never lose the headline metric
+        rec["qwen3_e2e_error"] = repr(exc)[:200]
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

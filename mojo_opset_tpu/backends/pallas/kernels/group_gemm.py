@@ -46,6 +46,7 @@ def _gmm_kernel_innerk(
     xbuf, wbuf, obuf, xsem, osem, wsem, acc_ref,
     *,
     bmw: int, bn: int, bk: int, n_tiles: int, k_chunks: int,
+    trans_weight: bool = False,
 ):
     """Grouped-matmul kernel; K loop inside the body (see module doc)."""
     t = pl.program_id(0)
@@ -55,9 +56,14 @@ def _gmm_kernel_innerk(
     w0 = pl.multiple_of(win_ref[t], 8)
 
     def w_dma(gi, ni, ki, s):
-        return pltpu.make_async_copy(
-            w_hbm.at[gi, pl.ds(ki * bk, bk), pl.ds(ni * bn, bn)], wbuf.at[s], wsem.at[s]
-        )
+        # trans layout (G, N, K): tile rows are K-contiguous (bk·itemsize
+        # bursts) instead of the (G, K, N) layout's bn·itemsize rows —
+        # the difference between ~1 KB and ~4-8 KB HBM bursts per row.
+        if trans_weight:
+            src = w_hbm.at[gi, pl.ds(ni * bn, bn), pl.ds(ki * bk, bk)]
+        else:
+            src = w_hbm.at[gi, pl.ds(ki * bk, bk), pl.ds(ni * bn, bn)]
+        return pltpu.make_async_copy(src, wbuf.at[s], wsem.at[s])
 
     @pl.when(flags > 0)
     def _run():
@@ -97,7 +103,7 @@ def _gmm_kernel_innerk(
             k_off = pl.multiple_of(kc * bk, bk)
             partial = jax.lax.dot_general(
                 xbuf[:, pl.ds(k_off, bk)], wbuf[slot],
-                (((1,), (0,)), ((), ())),
+                (((1,), (1,) if trans_weight else (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
 
@@ -136,19 +142,30 @@ def _gmm_kernel_innerk(
         wr.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("bm", "bn", "bk", "interpret", "trans_weight")
+)
 def grouped_matmul(
     x: jax.Array,  # (M, K) rows sorted by group
-    weights: jax.Array,  # (G, K, N)
+    weights: jax.Array,  # (G, K, N); (G, N, K) when trans_weight
     group_sizes: jax.Array,  # (G,) int32
     bm: int = 512,
     bn: int = 512,
     bk: int = 2048,
     interpret: bool = False,
+    trans_weight: bool = False,
 ) -> jax.Array:
-    """Ragged grouped matmul; out[r] = x[r] @ weights[group_of(r)]."""
+    """Ragged grouped matmul; out[r] = x[r] @ weights[group_of(r)].
+
+    ``trans_weight`` reads the (G, N, K) layout directly — K-contiguous
+    DMA tiles (long HBM bursts) and no materialized transpose when the
+    caller stores weights N-major (as ``nn.Linear``-style checkpoints do).
+    """
     M, K = x.shape
-    G, _, N = weights.shape
+    if trans_weight:
+        G, N, _ = weights.shape
+    else:
+        G, _, N = weights.shape
     bm = min(bm, max(8, (M // 8) * 8))
     bn = min(bn, N)
     bk = min(bk, K)
@@ -189,7 +206,7 @@ def grouped_matmul(
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
             pltpu.VMEM((bmw, K), x.dtype),
-            pltpu.VMEM((2, bk, bn), weights.dtype),
+            pltpu.VMEM((2, bn, bk) if trans_weight else (2, bk, bn), weights.dtype),
             pltpu.VMEM((bmw, bn), x.dtype),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
@@ -199,7 +216,8 @@ def grouped_matmul(
     )
     kernel = pl.pallas_call(
         functools.partial(
-            _gmm_kernel_innerk, bmw=bmw, bn=bn, bk=bk, n_tiles=n_tiles, k_chunks=k_chunks
+            _gmm_kernel_innerk, bmw=bmw, bn=bn, bk=bk, n_tiles=n_tiles,
+            k_chunks=k_chunks, trans_weight=trans_weight,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),

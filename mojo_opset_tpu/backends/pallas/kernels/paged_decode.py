@@ -54,34 +54,41 @@ def _decode_kernel(
 ):
     b = pl.program_id(0)
     s = pl.program_id(1)
+    B = pl.num_programs(0)
     num_supers = pl.num_programs(1)
     P = pages_per_fetch
     bs = block_size
-    seq_len = seq_lens_ref[b]
-    # sliding/global window: keep = causal ∧ (local ∨ global), i.e. only
-    # positions in [seq_len-1-local, seq_len) ∪ [0, global).  With only a
-    # global window the local branch admits nothing (win_lo = seq_len).
-    if local_window is not None:
-        win_lo = jnp.maximum(seq_len - 1 - local_window, 0)
-    elif global_window is not None:
-        win_lo = seq_len
-    else:
-        win_lo = jnp.int32(0)
     g_hi = jnp.int32(global_window) if global_window is not None else jnp.int32(0)
 
-    def page_needed(page_pos):
-        need = page_pos < seq_len
+    def row_window(row):
+        # sliding/global window: keep = causal ∧ (local ∨ global), i.e.
+        # only positions in [seq_len-1-local, seq_len) ∪ [0, global).
+        # With only a global window the local branch admits nothing.
+        sl = seq_lens_ref[row]
+        if local_window is not None:
+            lo = jnp.maximum(sl - 1 - local_window, 0)
+        elif global_window is not None:
+            lo = sl
+        else:
+            lo = jnp.int32(0)
+        return sl, lo
+
+    seq_len, win_lo = row_window(b)
+
+    def page_needed(row, page_pos):
+        sl, lo = row_window(row)
+        need = page_pos < sl
         if local_window is not None or global_window is not None:
-            need &= (page_pos + bs > win_lo) | (page_pos < g_hi)
+            need &= (page_pos + bs > lo) | (page_pos < g_hi)
         return need
 
-    def start_fetch(super_idx, slot):
+    def start_fetch(row, super_idx, slot):
         for p in range(P):
             page_pos = (super_idx * P + p) * bs
 
-            @pl.when(page_needed(page_pos))
+            @pl.when(page_needed(row, page_pos))
             def _():
-                blk = block_tables_ref[b, super_idx * P + p]
+                blk = block_tables_ref[row, super_idx * P + p]
                 blk = jnp.where(blk < 0, 0, blk)
                 if kv_layout == "HND":
                     kdst = kbuf.at[slot, :, pl.ds(p * bs, bs), :]
@@ -96,7 +103,7 @@ def _decode_kernel(
         for p in range(P):
             page_pos = (super_idx * P + p) * bs
 
-            @pl.when(page_needed(page_pos))
+            @pl.when(page_needed(b, page_pos))
             def _():
                 if kv_layout == "HND":
                     kdst = kbuf.at[slot, :, pl.ds(p * bs, bs), :]
@@ -112,15 +119,29 @@ def _decode_kernel(
         m_ref[...] = jnp.full_like(m_ref, _NEG)
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
-        start_fetch(0, 0)
 
-    slot = jax.lax.rem(s, 2)
+    @pl.when((b == 0) & (s == 0))
+    def _first_fetch():
+        start_fetch(0, 0, 0)
+
+    # slot parity follows the GLOBAL grid step so the double-buffer chain
+    # stays consistent across batch-row boundaries
+    slot = jax.lax.rem(b * num_supers + s, 2)
     super_start = s * P * bs
 
-    # overlap: kick off the next super-block before consuming this one
-    @pl.when(s + 1 < num_supers)
+    # overlap: kick off the next super-block before consuming this one;
+    # at the last super of a row, prefetch the NEXT row's first super
+    # (otherwise every batch row restarts the pipeline with a full-latency
+    # DMA bubble)
+    next_b = jnp.where(s + 1 < num_supers, b, b + 1)
+    next_s = jnp.where(s + 1 < num_supers, s + 1, 0)
+
+    @pl.when(next_b < B)
     def _prefetch():
-        start_fetch(s + 1, jax.lax.rem(s + 1, 2))
+        start_fetch(
+            jnp.minimum(next_b, B - 1), next_s,
+            jax.lax.rem(b * num_supers + s + 1, 2),
+        )
 
     super_needed = super_start < seq_len
     if local_window is not None or global_window is not None:

@@ -39,7 +39,12 @@ class PallasStorePagedKVCache(XlaStorePagedKVCache):
         *,
         chunk_metadata: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, jax.Array]:
-        if chunk_metadata is not None:
+        # Mosaic DMA slices must be lane-aligned: with head_dim not a
+        # multiple of the 128-lane tile, every cache-row memref slice is
+        # sub-tile and the kernel fails to compile (caught by the on-chip
+        # accuracy lane at D=16).  Real serving shapes have D=128/256;
+        # delegate the rest to the XLA scatter tier.
+        if chunk_metadata is not None or key_cache.shape[-1] % 128 != 0:
             return super().forward(
                 key_states, value_states, key_cache, value_cache,
                 block_table, cu_q_lens, context_kv_lens,

@@ -37,7 +37,8 @@ def _build_op(spec: PerfSpec, provider: str, workload):
     return op
 
 
-def run_case(spec: PerfSpec, provider: str, case, iters: int = 16) -> Optional[dict]:
+def run_case(spec: PerfSpec, provider: str, case, iters: int = 16,
+             validate_only: bool = False) -> Optional[dict]:
     workload = spec.workload_fn(case)
     try:
         op = _build_op(spec, provider, workload)
@@ -81,6 +82,8 @@ def run_case(spec: PerfSpec, provider: str, case, iters: int = 16) -> Optional[d
     # correctness guard: one eager call
     out = fn(*flat_args)
     device_sync(out)
+    if validate_only:
+        return {"op": spec.name, "case": case.id, "provider": provider, "us": -1.0}
 
     thread_idx = tuple(
         (workload.args.index(name), out_pos) for name, out_pos in workload.thread.items()
@@ -108,6 +111,8 @@ def main(argv=None):
     parser.add_argument("--iters", type=int, default=16)
     parser.add_argument("--json", default=None)
     parser.add_argument("--package", default="tests.perf_new")
+    parser.add_argument("--validate", action="store_true",
+                        help="build + run each case once (no timing) — CI workload check")
     args = parser.parse_args(argv)
 
     # device pinning for the multi-device launcher (benchmark/launch.py):
@@ -147,7 +152,8 @@ def _run_sweep(args):
                 if provider.supports is not None and not provider.supports(case):
                     continue
                 try:
-                    rec = run_case(spec, pname, case, iters=args.iters)
+                    rec = run_case(spec, pname, case, iters=args.iters,
+                                   validate_only=args.validate)
                 except Exception as exc:
                     logger.warning("%s/%s/%s failed: %r", name, case.id, pname, exc)
                     continue

@@ -236,6 +236,17 @@ class PagedAttentionRuntimeState:
         self.total_seq_lens = previous + q_lens
         return previous
 
+    def reset(self) -> None:
+        """Release every sequence, KEEPING the cache arrays.
+
+        Serving reuses the session's pre-allocated cache pool across
+        requests (continuous batching); tearing down and re-creating the
+        device cache arrays per request costs ~100 ms of host dispatch at
+        4B scale through a tunneled device."""
+        for batch_idx in range(self.batch_size):
+            if int(self.total_seq_lens[batch_idx]) > 0:
+                self.release_sequence(batch_idx)
+
     def release_sequence(self, batch_idx: int) -> None:
         """Return a finished sequence's blocks to the pool (continuous
         batching slot reuse)."""
@@ -334,6 +345,10 @@ class PagedAttentionGenerationModel:
                 return model(ids, positions, meta, caches, lm_head_indices=lm_head_indices)
 
             self._pool = CompiledStepPool(_step, donate_argnums=(4,))
+            # cheap-key memo over the pool: the pool's full signature walk
+            # flattens the whole model pytree (~1-5 ms at 4B scale), which
+            # serializes with dispatch on every step
+            self._runner_memo = {}
         else:
             self._pool = None
 
@@ -357,7 +372,20 @@ class PagedAttentionGenerationModel:
             lm_head_indices = None
 
         if self._pool is not None:
-            runner = self._pool.get_runner(self.model, ids, positions, meta, session.caches, lm_head_indices)
+            cache_sig = tuple(
+                (tuple(k.shape), str(k.dtype)) for k in session.caches.keys
+            ) + (tuple(session.caches.slot_of_layer),)
+            fast_key = (
+                int(ids.shape[0]), bool(meta.is_prefill),
+                None if lm_head_indices is None else int(lm_head_indices.shape[0]),
+                int(meta.block_tables.shape[1]), cache_sig,
+            )
+            runner = self._runner_memo.get(fast_key)
+            if runner is None:
+                runner = self._pool.get_runner(
+                    self.model, ids, positions, meta, session.caches, lm_head_indices
+                )
+                self._runner_memo[fast_key] = runner
             logits, new_caches = runner(self.model, ids, positions, meta, session.caches, lm_head_indices)
         else:
             logits, new_caches = self.model(

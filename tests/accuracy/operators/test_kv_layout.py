@@ -21,7 +21,11 @@ from ..utils import make_paged_case, randn
 
 @pytest.fixture()
 def _force_interpret(monkeypatch):
-    monkeypatch.setenv("MOJO_PALLAS_INTERPRET", "1")
+    import os
+
+    # real Mosaic compile under the on-chip lane (MOJO_TEST_TPU=1)
+    if os.environ.get("MOJO_TEST_TPU", "0") != "1":
+        monkeypatch.setenv("MOJO_PALLAS_INTERPRET", "1")
 
 
 def _nhd(cache):

@@ -21,7 +21,10 @@ pytestmark = pytest.mark.usefixtures("_force_interpret")
 
 @pytest.fixture()
 def _force_interpret(monkeypatch):
-    monkeypatch.setenv("MOJO_PALLAS_INTERPRET", "1")
+    # On-chip lane (MOJO_TEST_TPU=1): run through the real Mosaic compiler
+    # — interpret mode cannot catch lowering/tiling bugs.
+    if os.environ.get("MOJO_TEST_TPU", "0") != "1":
+        monkeypatch.setenv("MOJO_PALLAS_INTERPRET", "1")
 
 
 def test_pallas_rmsnorm_matches_ref():
