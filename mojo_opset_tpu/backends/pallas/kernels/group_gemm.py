@@ -43,9 +43,10 @@ def _gmm_kernel_innerk(
     # outputs
     o_hbm,
     # scratch
-    xbuf, wbuf, obuf, xsem, osem, wsem, acc_ref,
+    xbuf, wbuf, obuf, xsem, osem, wsem, acc_ref, opend,
     *,
     bmw: int, bn: int, bk: int, n_tiles: int, k_chunks: int,
+    n_wslots: int = 3,
     trans_weight: bool = False,
 ):
     """Grouped-matmul kernel; K loop inside the body (see module doc)."""
@@ -54,6 +55,24 @@ def _gmm_kernel_innerk(
     flags = tile_flags_ref[t]
     g = tile_g_ref[t]
     w0 = pl.multiple_of(win_ref[t], 8)
+    # output writes are ASYNC and double-buffered: slot parity follows the
+    # global tile index; ``opend[slot]`` (SMEM) marks an outstanding write
+    # whose completion must be awaited before obuf[slot] is reused (waits
+    # only validate shape, so a dummy same-shape descriptor suffices)
+    oslot = jax.lax.rem(t * n_tiles + n, 2)
+
+    def o_wait(slot):
+        @pl.when(opend[slot] == 1)
+        def _():
+            pltpu.make_async_copy(
+                obuf.at[slot], o_hbm.at[pl.ds(0, bmw), pl.ds(0, bn)], osem.at[slot]
+            ).wait()
+            opend[slot] = 0
+
+    @pl.when((t == 0) & (n == 0))
+    def _oinit():
+        opend[0] = 0
+        opend[1] = 0
 
     def w_dma(gi, ni, ki, s):
         # trans layout (G, N, K): tile rows are K-contiguous (bk·itemsize
@@ -65,81 +84,131 @@ def _gmm_kernel_innerk(
             src = w_hbm.at[gi, pl.ds(ki * bk, bk), pl.ds(ni * bn, bn)]
         return pltpu.make_async_copy(src, wbuf.at[s], wsem.at[s])
 
+    def adv(ti, ni, ki):
+        # advance the (tile, n, k-chunk) prefetch cursor by one chunk
+        nk = ki + 1
+        lk = nk == k_chunks
+        nn = jnp.where(lk, ni + 1, ni)
+        nk = jnp.where(lk, 0, nk)
+        ln = lk & (nn == n_tiles)
+        nt = jnp.where(ln, ti + 1, ti)
+        nn = jnp.where(ln, 0, nn)
+        return nt, nn, nk
+
+    def w_start_at(ti, ni, ki, s):
+        # start the weight DMA for chunk (ti, ni, ki) unless it runs off
+        # the grid / into surplus flags==0 tiles (which never wait)
+        safe = jnp.minimum(ti, pl.num_programs(0) - 1)
+
+        @pl.when((ti < pl.num_programs(0)) & (tile_flags_ref[safe] > 0))
+        def _():
+            w_dma(tile_g_ref[safe], ni, ki, s).start()
+
+    def x_dma(ki):
+        # per-k-chunk x streaming: the n==0 step only needs chunk kc at its
+        # kc-th dot, so k_chunks independent copies (own semaphores) let
+        # compute start after ~bk·bmw bytes instead of the full bmw×K window
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(w0, bmw), pl.ds(ki * bk, bk)],
+            xbuf.at[:, pl.ds(ki * bk, bk)],
+            xsem.at[ki],
+        )
+
     @pl.when(flags > 0)
     def _run():
         @pl.when(n == 0)
         def _():
-            pltpu.make_async_copy(x_hbm.at[pl.ds(w0, bmw), :], xbuf, xsem).start()
+            for ki in range(k_chunks):
+                x_dma(ki).start()
 
         @pl.when((t == 0) & (n == 0))
         def _():
+            # bootstrap the 2-deep weight prefetch chain: chunks 0 and 1
             w_dma(g, 0, 0, 0).start()
+            t1, n1, k1 = adv(t, n, 0)
+            w_start_at(t1, n1, k1, 1)
 
-        @pl.when(n == 0)
-        def _():
-            pltpu.make_async_copy(x_hbm.at[pl.ds(w0, bmw), :], xbuf, xsem).wait()
+        aslot = 0  # single acc buffer (double-buffering it overflows VMEM)
 
-        def body(kc, acc):
-            # slot parity follows the GLOBAL k-step index so the cross-step
+        def chunk_dot(kc):
+            # slot index follows the GLOBAL k-step index so the cross-step
             # prefetch chain stays consistent for odd k_chunks
             li = (t * n_tiles + n) * k_chunks + kc
-            slot = jax.lax.rem(li, 2)
-            nxt = jax.lax.rem(li + 1, 2)
-            # prefetch the next k chunk (wrapping to the next n tile / m tile)
-            nk = kc + 1
-            last_k = nk == k_chunks
-            nn = jnp.where(last_k, n + 1, n)
-            nk = jnp.where(last_k, 0, nk)
-            last_n = last_k & (nn == n_tiles)
-            nt_ = jnp.where(last_n, t + 1, t)
-            nn = jnp.where(last_n, 0, nn)
-            safe = jnp.minimum(nt_, pl.num_programs(0) - 1)
+            slot = jax.lax.rem(li, n_wslots)
+            # prefetch 2 chunks ahead (wrapping across n tiles / m tiles):
+            # one-chunk lead (~bk·bn·2/819GB/s of cover) gets swamped when
+            # the n==0 step's x window competes for the DMA queue
+            t1, n1, k1 = adv(t, n, kc)
+            t2, n2, k2 = adv(t1, n1, k1)
+            w_start_at(t2, n2, k2, jax.lax.rem(li + 2, n_wslots))
 
-            @pl.when((nt_ < pl.num_programs(0)) & (tile_flags_ref[safe] > 0))
+            @pl.when(n == 0)
             def _():
-                w_dma(tile_g_ref[safe], nn, nk, nxt).start()
+                x_dma(kc).wait()
 
             w_dma(g, n, kc, slot).wait()
             k_off = pl.multiple_of(kc * bk, bk)
-            partial = jax.lax.dot_general(
+            return jax.lax.dot_general(
                 xbuf[:, pl.ds(k_off, bk)], wbuf[slot],
                 (((1,), (1,) if trans_weight else (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
 
+        def body(kc, acc):
+            partial = chunk_dot(kc)
+
             # accumulate straight into the VMEM scratch (a loop carry would
             # stack an extra fp32 tile per unrolled step -> scoped-vmem OOM)
             @pl.when(kc == 0)
             def _():
-                acc_ref[...] = partial
+                acc_ref[aslot] = partial
 
             @pl.when(kc > 0)
             def _():
-                acc_ref[...] = acc_ref[...] + partial
+                acc_ref[aslot] = acc_ref[aslot] + partial
 
             return 0
 
-        jax.lax.fori_loop(0, k_chunks, body, 0, unroll=True)
-        out = acc_ref[...]
+        # the last chunk's add is fused into the output cast instead of a
+        # round-trip through acc_ref (saves ~2 VMEM MB of VPU traffic per
+        # step and shortens the dot->acc->out dependency chain)
+        jax.lax.fori_loop(0, k_chunks - 1, body, 0, unroll=True)
+        last = chunk_dot(k_chunks - 1)
+        out = acc_ref[aslot] + last if k_chunks > 1 else last
+        o_wait(oslot)  # obuf[oslot] may still be draining from 2 tiles ago
 
         @pl.when(flags == 1)
         def _():
-            obuf[...] = out.astype(obuf.dtype)
+            obuf[oslot] = out.astype(obuf.dtype)
 
         @pl.when(flags == 2)
         def _():
+            # boundary merge reads o_hbm rows an earlier overlapping window
+            # may still be writing — drain the other slot too before reading
+            o_wait(1 - oslot)
             rd = pltpu.make_async_copy(
-                o_hbm.at[pl.ds(w0, bmw), pl.ds(n * bn, bn)], obuf, osem
+                o_hbm.at[pl.ds(w0, bmw), pl.ds(n * bn, bn)], obuf.at[oslot],
+                osem.at[oslot],
             )
             rd.start()
             rd.wait()
             row = w0 + jax.lax.broadcasted_iota(jnp.int32, (bmw, 1), 0)
             mine = (row >= tile_lo_ref[t]) & (row < tile_hi_ref[t])
-            obuf[...] = jnp.where(mine, out, obuf[...].astype(jnp.float32)).astype(obuf.dtype)
+            obuf[oslot] = jnp.where(
+                mine, out, obuf[oslot].astype(jnp.float32)
+            ).astype(obuf.dtype)
 
-        wr = pltpu.make_async_copy(obuf, o_hbm.at[pl.ds(w0, bmw), pl.ds(n * bn, bn)], osem)
-        wr.start()
-        wr.wait()
+        pltpu.make_async_copy(
+            obuf.at[oslot], o_hbm.at[pl.ds(w0, bmw), pl.ds(n * bn, bn)], osem.at[oslot]
+        ).start()
+        opend[oslot] = 1
+
+    # drain both slots at the final grid step (surplus flags==0 steps run
+    # this too, which is harmless)
+    @pl.when((t == pl.num_programs(0) - 1) & (n == n_tiles - 1))
+    def _drain():
+        o_wait(0)
+        o_wait(1)
 
 
 @functools.partial(
@@ -206,12 +275,13 @@ def grouped_matmul(
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
             pltpu.VMEM((bmw, K), x.dtype),
-            pltpu.VMEM((2, bn, bk) if trans_weight else (2, bk, bn), weights.dtype),
-            pltpu.VMEM((bmw, bn), x.dtype),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((3, bn, bk) if trans_weight else (3, bk, bn), weights.dtype),
+            pltpu.VMEM((2, bmw, bn), x.dtype),
+            pltpu.SemaphoreType.DMA((k_chunks,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((bmw, bn), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((1, bmw, bn), jnp.float32),
+            pltpu.SMEM((2,), jnp.int32),
         ],
     )
     kernel = pl.pallas_call(
