@@ -116,10 +116,133 @@ def apply_mojo_to_deepseek_v3(checkpoint_dir: str, key: Optional[jax.Array] = No
     )
 
 
+def wan_dit_rename_hook(path: str) -> Optional[str]:
+    """Map WanModel pytree paths to official Wan2.2 DiT state-dict keys
+    (reference mojo_wan_model.py:208-316 module naming: nn.Sequential
+    embeddings, ``ffn.{0,2}`` MLPs)."""
+    import re
+
+    rules = (
+        (r"patch_(weight|bias)", r"patch_embedding.\1"),
+        (r"text_in\.(weight|bias)", r"text_embedding.0.\1"),
+        (r"text_out\.(weight|bias)", r"text_embedding.2.\1"),
+        (r"time_in\.(weight|bias)", r"time_embedding.0.\1"),
+        (r"time_out\.(weight|bias)", r"time_embedding.2.\1"),
+        (r"time_proj\.(weight|bias)", r"time_projection.1.\1"),
+        (r"(blocks\.\d+)\.ffn_in\.(weight|bias)", r"\1.ffn.0.\2"),
+        (r"(blocks\.\d+)\.ffn_out\.(weight|bias)", r"\1.ffn.2.\2"),
+    )
+    for pat, sub in rules:
+        if re.fullmatch(pat, path):
+            return re.sub(pat, sub, path)
+    return None
+
+
 def apply_mojo_to_wan2_2(dit_state: dict, config=None, key: Optional[jax.Array] = None):
-    """Load a Wan2.2 DiT state dict into the Mojo-op WanModel
-    (reference patching.py:136-160)."""
+    """Load a Wan2.2 DiT state dict (official module naming) into the
+    Mojo-op WanModel (reference patching.py:136-160)."""
     from mojo_opset_tpu.modeling.wan2_2 import WanConfig, WanModel
 
     model = WanModel(config or WanConfig(), key=key)
-    return load_state_dict(model, dit_state, strict=False)
+    return load_state_dict(
+        model, dit_state, rename_hooks=[wan_dit_rename_hook], strict=False
+    )
+
+
+def wan_vae_rename_hook(path: str) -> Optional[str]:
+    """Map WanVAE_ pytree paths to official Wan2.2 VAE state-dict keys
+    (reference mojo_vae2_2.py:444-727 naming: ``middle``/``head``
+    nn.Sequentials, ResidualBlock ``residual.{0,2,3,6}``, Down/Up
+    ``downsamples``/``upsamples`` lists with the trailing Resample)."""
+    import re
+
+    # ResidualBlock internals (applied after structural renames below)
+    rb = (
+        (r"norm1\.weight$", "residual.0.weight"),
+        (r"conv1\.(weight|bias)$", r"residual.2.\1"),
+        (r"norm2\.weight$", "residual.3.weight"),
+        (r"conv2\.(weight|bias)$", r"residual.6.\1"),
+        (r"shortcut\.(weight|bias)$", r"shortcut.\1"),
+    )
+
+    def rb_sub(rest: str) -> Optional[str]:
+        for pat, sub in rb:
+            if re.fullmatch(pat, rest):
+                return re.sub(pat, sub, rest)
+        return None
+
+    m = re.fullmatch(r"(encoder|decoder)\.mid_block([12])\.(.+)", path)
+    if m:
+        rest = rb_sub(m.group(3))
+        idx = {"1": 0, "2": 2}[m.group(2)]
+        return f"{m.group(1)}.middle.{idx}.{rest}" if rest else None
+    m = re.fullmatch(r"(encoder|decoder)\.mid_attn\.(.+)", path)
+    if m:
+        return f"{m.group(1)}.middle.1.{m.group(2)}"
+    m = re.fullmatch(r"(encoder|decoder)\.head_norm\.weight", path)
+    if m:
+        return f"{m.group(1)}.head.0.weight"
+    m = re.fullmatch(r"(encoder|decoder)\.head_conv\.(weight|bias)", path)
+    if m:
+        return f"{m.group(1)}.head.2.{m.group(2)}"
+    m = re.fullmatch(
+        r"encoder\.downsamples\.(\d+)\.blocks\.(\d+)\.(.+)", path
+    )
+    if m:
+        rest = rb_sub(m.group(3))
+        return (
+            f"encoder.downsamples.{m.group(1)}.downsamples.{m.group(2)}.{rest}"
+            if rest else None
+        )
+    m = re.fullmatch(r"decoder\.upsamples\.(\d+)\.blocks\.(\d+)\.(.+)", path)
+    if m:
+        rest = rb_sub(m.group(3))
+        return (
+            f"decoder.upsamples.{m.group(1)}.upsamples.{m.group(2)}.{rest}"
+            if rest else None
+        )
+    # Resample sits at the end of each stage's Sequential; its index is the
+    # stage's block count, which load-time can't see — emit a wildcard the
+    # loader resolves (see apply_mojo_to_wan2_2_vae).
+    m = re.fullmatch(
+        r"(encoder\.downsamples|decoder\.upsamples)\.(\d+)\.resample\."
+        r"(conv\.(?:weight|bias)|time_conv\.(?:weight|bias))", path
+    )
+    if m:
+        seq = "downsamples" if m.group(1).startswith("encoder") else "upsamples"
+        leaf = m.group(3).replace("conv.", "resample.1.", 1) if m.group(3).startswith("conv.") else m.group(3)
+        return f"{m.group(1)}.{m.group(2)}.{seq}.<last>.{leaf}"
+    return None
+
+
+def apply_mojo_to_wan2_2_vae(vae_state: dict, vae=None, key: Optional[jax.Array] = None,
+                             **vae_kwargs):
+    """Load a Wan2.2 causal-VAE state dict (official naming; ``.gamma``
+    norm keys accepted) into the Mojo-op WanVAE_
+    (reference mojo_vae2_2.py:795-806 gamma->weight rename)."""
+    import re
+
+    from mojo_opset_tpu.modeling.wan2_2 import WanVAE_
+
+    model = vae if vae is not None else WanVAE_(key=key, **vae_kwargs)
+    state = {}
+    for k, v in vae_state.items():
+        if k.endswith(".gamma"):
+            k = k[: -len(".gamma")] + ".weight"
+        state[k] = v
+    # resolve the <last> wildcard: the Resample module is the highest index
+    # in each stage's Sequential
+    last_idx = {}
+    for k in state:
+        m = re.match(r"((?:encoder\.downsamples|decoder\.upsamples)\.\d+\.(?:downsamples|upsamples))\.(\d+)\.", k)
+        if m:
+            last_idx[m.group(1)] = max(last_idx.get(m.group(1), 0), int(m.group(2)))
+
+    def hook(path: str) -> Optional[str]:
+        key_ = wan_vae_rename_hook(path)
+        if key_ is not None and ".<last>." in key_:
+            prefix = key_.split(".<last>.")[0]
+            key_ = key_.replace("<last>", str(last_idx.get(prefix, 0)))
+        return key_
+
+    return load_state_dict(model, state, rename_hooks=[hook], strict=False)
