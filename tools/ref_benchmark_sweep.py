@@ -1,0 +1,507 @@
+"""Replicate the reference's published per-op benchmark table on TPU.
+
+The reference publishes 101 measured rows in
+``/root/reference/mojo_opset/tests/perf/benchmark.md`` (TTX/torch backends
+on Ascend NPU 910B).  This tool parses every row, rebuilds the identical
+workload against this package's ops (default tier dispatch: Pallas/XLA on
+TPU), measures device latency with the elision-proof two-length chained
+timer (benchmark/timing.py), and emits ``docs/benchmark.md`` — one row per
+reference row, annotated with the 910B number and the speedup.
+
+Rows whose exact sequence lengths are not recoverable from the published
+shapes (paged attention, cache stores) are reconstructed so that every
+published tensor shape (block-table width, total cache blocks) matches
+bit-for-bit; the chosen lengths are printed in the row's parameter summary.
+
+Usage:
+    python tools/ref_benchmark_sweep.py            # full sweep on the chip
+    python tools/ref_benchmark_sweep.py --dry      # build-only check (CPU)
+    python tools/ref_benchmark_sweep.py --only RMSNorm,Gelu
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import re
+import sys
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+REF_MD = "/root/reference/mojo_opset/tests/perf/benchmark.md"
+
+_TENSOR_RE = re.compile(r"(\w+): Tensor\(shape=\(([^)]*)\), dtype=torch\.(\w+)")
+_SCALAR_RE = re.compile(r"(\w+): (-?[\d.]+)\s*(?:<br>|$| )")
+_ROW_RE = re.compile(
+    r"^\|\s*([\d: -]+?)\s*\|\s*(\w+)\s*\|(.*?)\|\s*([\d.]+) us\s*\|\s*([\d.]+) m?s?\s*\|?\s*$"
+)
+
+
+def parse_reference_table(path: str = REF_MD):
+    """-> list of rows {op, prefix, tensors: {name: (shape, dtype)},
+    scalars: {name: float}, ref_us}."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            m = _ROW_RE.match(line.strip())
+            if not m:
+                continue
+            _ts, full_op, params, dev_us, _host = m.groups()
+            prefix = "TTX" if full_op.startswith("TTX") else (
+                "TorchNpu" if full_op.startswith("TorchNpu") else "Torch"
+            )
+            op = full_op[len(prefix):]
+            tensors = {
+                name: (tuple(int(x) for x in shape.replace(" ", "").split(",") if x), dt)
+                for name, shape, dt in _TENSOR_RE.findall(params)
+            }
+            scalars = {}
+            for name, val in _SCALAR_RE.findall(params):
+                if name not in tensors:
+                    scalars[name] = float(val)
+            rows.append(
+                dict(op=op, prefix=prefix, tensors=tensors, scalars=scalars,
+                     ref_us=float(dev_us))
+            )
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# Workload builders: published row -> (callable, args, thread_idx, note)
+# ---------------------------------------------------------------------------
+
+_DT = {
+    "float32": "float32", "float16": "float16", "bfloat16": "bfloat16",
+    "int64": "int32", "int32": "int32", "int8": "int8",
+}
+
+
+def _jnp():
+    import jax.numpy as jnp
+
+    return jnp
+
+
+def _randn(rng, shape, dtype):
+    jnp = _jnp()
+    return jnp.asarray(rng.standard_normal(shape, dtype="float32")).astype(
+        getattr(jnp, _DT[dtype])
+    )
+
+
+def _build_elementwise(row, rng, cls_name):
+    import mojo_opset_tpu as m
+
+    x = _randn(rng, *row["tensors"]["x"])
+    op = getattr(m, f"Mojo{cls_name}")()
+    return (lambda x: op(x)), (x,), (), ""
+
+
+def _build_swiglu(row, rng):
+    import mojo_opset_tpu as m
+
+    gate = _randn(rng, *row["tensors"]["gate_out"])
+    up = _randn(rng, *row["tensors"]["up_out"])
+    op = m.MojoSwiGLU()
+    return (lambda g, u: op(g, u)), (gate, up), (), ""
+
+
+def _build_norm(row, rng, cls_name, residual=False):
+    import mojo_opset_tpu as m
+
+    shape, dtype = row["tensors"]["x"]
+    x = _randn(rng, shape, dtype)
+    op = getattr(m, f"Mojo{cls_name}")(shape[-1])
+    if residual:
+        r = _randn(rng, *row["tensors"]["residual"])
+        return (lambda x, r: op(x, r)), (x, r), (), ""
+    return (lambda x: op(x)), (x,), (), ""
+
+
+def _build_rope(row, rng):
+    import mojo_opset_tpu as m
+
+    q = _randn(rng, *row["tensors"]["q"])
+    k = _randn(rng, *row["tensors"]["k"])
+    # published cos/sin are (1, 1, S, D); our head-first path broadcasts a
+    # (1, S, D) table over the head axis
+    cos_shape, cos_dt = row["tensors"]["cos"]
+    cos = _randn(rng, cos_shape[1:], cos_dt)
+    sin = _randn(rng, row["tensors"]["sin"][0][1:], row["tensors"]["sin"][1])
+    op = m.MojoApplyRoPE()
+    return (lambda q, k, c, s: op(q, k, c, s, head_first=True)), (q, k, cos, sin), (), ""
+
+
+def _build_sdpa(row, rng):
+    import mojo_opset_tpu as m
+
+    q = _randn(rng, *row["tensors"]["query"])
+    k = _randn(rng, *row["tensors"]["key"])
+    v = _randn(rng, *row["tensors"]["value"])
+    op = m.MojoSdpa(enable_gqa=q.shape[-3] != k.shape[-3])
+    return (lambda q, k, v: op(q, k, v)), (q, k, v), (), ""
+
+
+def _paged_arrays(rng, lens, block_size, cache_rows, kv_heads, head_dim, dtype, width):
+    """Block tables + caches matching the published shapes exactly."""
+    import numpy as np
+
+    jnp = _jnp()
+    needed = [math.ceil(l / block_size) for l in lens]
+    assert sum(needed) + 10 == cache_rows, (sum(needed), cache_rows)
+    assert max(needed) == width, (max(needed), width)
+    tables = np.full((len(lens), width), -1, np.int32)
+    cur = 0
+    for i, n in enumerate(needed):
+        tables[i, :n] = np.arange(cur, cur + n, dtype=np.int32)
+        cur += n
+    cache_shape = (cache_rows, kv_heads, block_size, head_dim)
+    k_cache = _randn(rng, cache_shape, dtype)
+    v_cache = _randn(rng, cache_shape, dtype)
+    return jnp.asarray(tables), k_cache, v_cache
+
+
+# Hand-reconstructed sequence lengths: the published rows predate the
+# current perf descriptors' seeded generators, so lengths are chosen to
+# reproduce every published shape (cache rows = sum(ceil(len/bs)) + 10,
+# table width = max blocks) exactly.
+_DECODE_LENS = {
+    (8, 27, 123): [864, 512, 512, 512, 512, 512, 96, 96],
+    (8, 25, 109): [800, 448, 448, 448, 448, 448, 64, 64],
+}
+_PREFILL_QLENS = {
+    (2, 29, 63, 1695): [928, 767],
+    (2, 30, 60, 1564): [950, 614],
+}
+
+
+def _build_paged_decode(row, rng):
+    import mojo_opset_tpu as m
+
+    jnp = _jnp()
+    (B, Hq, D), qdt = row["tensors"]["query"]
+    cache_rows, Hkv, bs, _ = row["tensors"]["k_cache"][0]
+    width = row["tensors"]["block_tables"][0][1]
+    lens = _DECODE_LENS[(B, width, cache_rows)]
+    tables, k_cache, v_cache = _paged_arrays(rng, lens, bs, cache_rows, Hkv, D, qdt, width)
+    q = _randn(rng, (B, Hq, D), qdt)
+    seq_lens = jnp.asarray(lens, jnp.int32)
+    scale = row["scalars"].get("sm_scale", 1.0 / math.sqrt(D))
+    op = m.MojoPagedDecodeGQA()
+    return (
+        (lambda q, kc, vc, sl, bt: op(q, kc, vc, sl, bt, softmax_scale=scale)),
+        (q, k_cache, v_cache, seq_lens, tables),
+        (),
+        f"seq_lens={lens}",
+    )
+
+
+def _build_paged_prefill(row, rng):
+    import mojo_opset_tpu as m
+
+    jnp = _jnp()
+    (T, Hq, D), qdt = row["tensors"]["query"]
+    cache_rows, Hkv, bs, _ = row["tensors"]["k_cache"][0]
+    B, width = row["tensors"]["block_tables"][0]
+    q_lens = _PREFILL_QLENS[(B, width, cache_rows, T)]
+    tables, k_cache, v_cache = _paged_arrays(rng, q_lens, bs, cache_rows, Hkv, D, qdt, width)
+    q = _randn(rng, (T, Hq, D), qdt)
+    cu = jnp.asarray([0] + list(__import__("numpy").cumsum(q_lens)), jnp.int32)
+    scale = row["scalars"].get("sm_scale", 1.0 / math.sqrt(D))
+    op = m.MojoPagedPrefillGQA()
+    return (
+        (lambda q, kc, vc, cu, bt: op(q, kc, vc, cu, bt, softmax_scale=scale)),
+        (q, k_cache, v_cache, cu, tables),
+        (),
+        f"q_lens={q_lens}",
+    )
+
+
+def _build_store_paged(row, rng):
+    import numpy as np
+
+    import mojo_opset_tpu as m
+
+    jnp = _jnp()
+    (B, H, S, D), kdt = row["tensors"]["key_states"]
+    cache_rows, Hc, bs, _ = row["tensors"]["k_cache"][0]
+    width = row["tensors"]["block_tables"][0][1]
+    assert H == Hc
+    # published key_states are (B, H, S_new, D) head-first; our contract is
+    # token-major (T, H, D)
+    k_new = _randn(rng, (B * S, H, D), kdt)
+    v_new = _randn(rng, (B * S, H, D), kdt)
+    k_cache = _randn(rng, (cache_rows, H, bs, D), kdt)
+    v_cache = _randn(rng, (cache_rows, H, bs, D), kdt)
+    # context fills most of the table: context + S_new tokens within `width`
+    # blocks per sequence (context values are not recoverable from the
+    # published row; the store cost depends on bytes written, not context)
+    ctx = (width - 2) * bs + bs // 2
+    lens = [ctx + S] * B
+    tables = np.full((B, width), -1, np.int32)
+    cur = 0
+    for i, l in enumerate(lens):
+        n = math.ceil(l / bs)
+        tables[i, :n] = np.arange(cur, cur + n, dtype=np.int32)
+        cur += n
+    cu_q = jnp.asarray(np.arange(B + 1) * S, jnp.int32)
+    ctx_lens = jnp.asarray([ctx] * B, jnp.int32)
+    tables = jnp.asarray(tables)
+    op = m.MojoStorePagedKVCache()
+    return (
+        (lambda kn, vn, kc, vc: op(kn, vn, kc, vc, tables, cu_q, ctx_lens)),
+        (k_new, v_new, k_cache, v_cache),
+        ((2, 0), (3, 1)),
+        f"context={ctx} new_tokens/seq={S}",
+    )
+
+
+_TOPK_BY_CASE = {(120, 151936): 20, (15, 155136): 50, (18, 155136): 100}
+
+
+def _build_topk_sampling(row, rng):
+    import mojo_opset_tpu as m
+
+    (B, V), dt = row["tensors"]["logits"]
+    logits = _randn(rng, (B, V), dt)
+    op = m.MojoTopKSampling(top_k=_TOPK_BY_CASE[(B, V)])
+    return (lambda x: op(x)), (logits,), (), f"top_k={_TOPK_BY_CASE[(B, V)]}"
+
+
+def _build_topp_filter(row, rng):
+    import mojo_opset_tpu as m
+
+    (B, V), dt = row["tensors"]["logits"]
+    logits = _randn(rng, (B, V), dt)
+    topp = row["scalars"]["topp"]
+    topk = int(row["scalars"]["topk"])
+    mtk = int(row["scalars"]["min_tokens_to_keep"])
+    op = m.MojoTopPFilter()
+    return (lambda x: op(x, topp, mtk, topk)), (logits,), (), f"topp={topp} topk={topk}"
+
+
+def _build_reject(row, rng, joint=False):
+    import numpy as np
+
+    import mojo_opset_tpu as m
+
+    jnp = _jnp()
+    (B, S1, V), _ = row["tensors"]["target_logits"]
+    S = S1 - 1
+    # our op takes target PROBS; the published row feeds logits — include
+    # the softmax in the timed region for parity with the kernel's work
+    logits = _randn(rng, (B, S1, V), "float32")
+    draft_tokens = jnp.asarray(np.asarray(rng.integers(0, V, (B, S))), jnp.int32)
+    draft_probs = jnp.asarray(rng.uniform(0.1, 1.0, (B, S)).astype("float32"))
+    op = m.MojoJoinProbRejectSampling() if joint else m.MojoRejectSampling()
+
+    def fn(logits, draft_tokens, draft_probs):
+        import jax
+
+        probs = jax.nn.softmax(logits, axis=-1)
+        return op(probs, draft_tokens, draft_probs)
+
+    return fn, (logits, draft_tokens, draft_probs), (), ""
+
+
+def _build_group_gemm(row, rng):
+    import numpy as np
+
+    import mojo_opset_tpu as m
+
+    jnp = _jnp()
+    (T, K), dt = row["tensors"]["input"]
+    (G,), _ = row["tensors"]["group_list"]
+    x = _randn(rng, (T, K), dt)
+    weight = _randn(rng, (G, K, K), dt)
+    group_list = jnp.asarray(np.full((G,), T // G), jnp.int32)
+    op = m.MojoGroupGemm(weight=weight)
+    return (lambda x, gl: op(x, gl)), (x, group_list), (), f"weight=({G},{K},{K})"
+
+
+def _build_quant_batch_gemm_reduce_sum(row, rng):
+    import numpy as np
+
+    from mojo_opset_tpu.experimental import MojoQuantBatchGemmReduceSum
+
+    jnp = _jnp()
+    (Bb, M, K), _ = row["tensors"]["x1"]
+    # weight x2 is op state; some rows omit it — N from the x2_scale shape
+    if "x2" in row["tensors"]:
+        N = row["tensors"]["x2"][0][2]
+    else:
+        N = row["tensors"]["x2_scale"][0][0]
+    x1 = jnp.asarray(np.asarray(rng.integers(-127, 128, (Bb, M, K))), jnp.int8)
+    x2 = jnp.asarray(np.asarray(rng.integers(-127, 128, (Bb, K, N))), jnp.int8)
+    x1s = jnp.asarray(rng.uniform(0.5, 2.0, (Bb, M)).astype("float32"))
+    x2s = jnp.asarray(rng.uniform(0.5, 2.0, (N,)).astype("float32")).astype(jnp.bfloat16)
+    op = MojoQuantBatchGemmReduceSum(weight=x2)
+    # x1 is int8: perturbation-by-carry needs a float first arg, so pass
+    # scales first
+    return (lambda s1, s2, x: op(x, s1, s2)), (x1s, x2s, x1), (), ""
+
+
+BUILDERS = {
+    "Gelu": lambda r, g: _build_elementwise(r, g, "Gelu"),
+    "Silu": lambda r, g: _build_elementwise(r, g, "Silu"),
+    "SwiGLU": _build_swiglu,
+    "RMSNorm": lambda r, g: _build_norm(r, g, "RMSNorm"),
+    "LayerNorm": lambda r, g: _build_norm(r, g, "LayerNorm"),
+    "ResidualAddRMSNorm": lambda r, g: _build_norm(r, g, "ResidualAddRMSNorm", residual=True),
+    "ResidualAddLayerNorm": lambda r, g: _build_norm(r, g, "ResidualAddLayerNorm", residual=True),
+    # TTXResidualAddNorm = the fused add+rmsnorm kernel family in the
+    # reference TTX backend; RMSNorm variant is the published one
+    "ResidualAddNorm": lambda r, g: _build_norm(r, g, "ResidualAddRMSNorm", residual=True),
+    "RoPE": _build_rope,
+    "Sdpa": _build_sdpa,
+    "PagedDecodeGQA": _build_paged_decode,
+    "PagedPrefillGQA": _build_paged_prefill,
+    "StorePagedKVCache": _build_store_paged,
+    "TopKSampling": _build_topk_sampling,
+    "TopPFilter": _build_topp_filter,
+    "RejectSampling": lambda r, g: _build_reject(r, g, joint=False),
+    "JoinProbRejectSampling": lambda r, g: _build_reject(r, g, joint=True),
+    "GroupGemm": _build_group_gemm,
+    "QuantBatchGemmReduceSum": _build_quant_batch_gemm_reduce_sum,
+    "GroupQuantMatmulReduceSum": _build_quant_batch_gemm_reduce_sum,
+}
+
+
+def _param_summary(row):
+    parts = []
+    for name, (shape, dt) in sorted(row["tensors"].items()):
+        parts.append(f"{name}{tuple(shape)}:{_DT[dt]}")
+    for name, val in sorted(row["scalars"].items()):
+        parts.append(f"{name}={val:g}")
+    return " ".join(parts)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None, help="comma-separated op-name filter")
+    ap.add_argument("--dry", action="store_true", help="build workloads only (CPU)")
+    ap.add_argument("--out", default=os.path.join(REPO, "docs", "benchmark.md"))
+    ap.add_argument("--json", default=os.path.join(REPO, "docs", "benchmark.json"))
+    ap.add_argument("--resume", action="store_true",
+                    help="skip rows already present in --json")
+    args = ap.parse_args(argv)
+
+    if args.dry:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        os.environ.setdefault("MOJO_PLATFORM", "cpu")
+
+    import numpy as np
+
+    import jax
+
+    from mojo_opset_tpu.benchmark.timing import device_time_us
+
+    rows = parse_reference_table()
+    if args.only:
+        keep = {s.strip() for s in args.only.split(",")}
+        rows = [r for r in rows if r["op"] in keep]
+
+    done = {}
+    if args.resume and os.path.exists(args.json):
+        with open(args.json) as f:
+            for rec in json.load(f)["rows"]:
+                done[(rec["op"], rec["prefix"], rec["params"], rec["ref_us"])] = rec
+
+    platform = jax.devices()[0].platform
+    print(f"platform={platform}, {len(rows)} reference rows", flush=True)
+
+    measured_cache = {}
+    results = []
+    for i, row in enumerate(rows):
+        key = (row["op"], row["prefix"], _param_summary(row), row["ref_us"])
+        if key in done:
+            results.append(done[key])
+            continue
+        builder = BUILDERS.get(row["op"])
+        rec = dict(op=row["op"], prefix=row["prefix"], params=_param_summary(row),
+                   ref_us=row["ref_us"])
+        if builder is None:
+            rec.update(us=None, note="no builder")
+            results.append(rec)
+            continue
+        wl_key = (row["op"], _param_summary(row))
+        try:
+            if wl_key in measured_cache:
+                us, note = measured_cache[wl_key]
+            else:
+                rng = np.random.default_rng(0)
+                fn, fargs, thread_idx, note = builder(row, rng)
+                if args.dry:
+                    out = jax.jit(fn)(*fargs)
+                    jax.block_until_ready(out)
+                    us = float("nan")
+                else:
+                    us = device_time_us(fn, *fargs, thread_idx=thread_idx)
+                measured_cache[wl_key] = (us, note)
+            rec.update(us=us, note=note)
+        except Exception as e:  # noqa: BLE001 - record and continue the sweep
+            rec.update(us=None, note=f"ERROR: {type(e).__name__}: {e}")
+        results.append(rec)
+        shown = f"{rec['us']:.1f}us" if isinstance(rec.get("us"), float) else rec["note"]
+        print(f"[{i + 1}/{len(rows)}] {row['op']} ref={row['ref_us']:.1f}us -> {shown}",
+              flush=True)
+        _write(args, results, platform, partial=True)
+
+    _write(args, results, platform, partial=False)
+    ok = sum(1 for r in results if isinstance(r.get("us"), float))
+    print(f"done: {ok}/{len(results)} rows measured -> {args.out}")
+
+
+def _write(args, results, platform, partial):
+    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    with open(args.json, "w") as f:
+        json.dump({"platform": platform, "generated": stamp, "rows": results}, f, indent=1)
+    lines = [
+        "# Per-op benchmark vs the reference's published table",
+        "",
+        f"Generated {stamp} on `{platform}` (one TPU v5e chip) by",
+        "`python tools/ref_benchmark_sweep.py`. One row per row of the",
+        "reference's `tests/perf/benchmark.md` (TTX/torch backends, Ascend NPU",
+        "910B). Device latency measured with the elision-proof two-length",
+        "chained timer (`mojo_opset_tpu/benchmark/timing.py`); default tier",
+        "dispatch (Pallas kernels where registered, else XLA).",
+        "",
+        "Speedup >1 means this framework on one v5e chip beats the published",
+        "910B number. Rows for `Torch*` prefixes compare against the",
+        "reference's *eager torch* backend on the same NPU.",
+        "",
+        "| Reference op | Parameters | 910B µs | v5e µs | speedup | note |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in results:
+        if isinstance(r.get("us"), float) and not math.isnan(r["us"]):
+            speed = f"**{r['ref_us'] / r['us']:.2f}×**"
+            us = f"{r['us']:.2f}"
+        else:
+            speed, us = "—", "—"
+        lines.append(
+            f"| {r['prefix']}{r['op']} | {r['params']} | {r['ref_us']:.2f} | "
+            f"{us} | {speed} | {r.get('note', '')} |"
+        )
+    if not partial:
+        meas = [r for r in results if isinstance(r.get("us"), float) and not math.isnan(r["us"])]
+        if meas:
+            import statistics
+
+            geo = math.exp(statistics.fmean(math.log(r["ref_us"] / r["us"]) for r in meas))
+            wins = sum(1 for r in meas if r["ref_us"] / r["us"] > 1.0)
+            lines += ["", f"**{len(meas)} rows measured; geomean speedup "
+                          f"{geo:.2f}×; faster than the reference on "
+                          f"{wins}/{len(meas)} rows.**"]
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    main()
