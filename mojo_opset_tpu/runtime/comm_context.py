@@ -64,7 +64,12 @@ class MojoComputeCommContext:
         self.shmem = MojoSymmetricMemoryManager.get(axis_name)
 
     def get_op(self, op_cls, weight, **kwargs):
-        key = (op_cls.__name__, id(weight), tuple(sorted(kwargs.items())))
+        # arrays (weight scales, biases) are unhashable: key them by identity
+        def _k(v):
+            return ("id", id(v)) if hasattr(v, "shape") else v
+
+        key = (op_cls.__name__, id(weight),
+               tuple(sorted((name, _k(v)) for name, v in kwargs.items())))
         if key not in self._ops:
             self._ops[key] = op_cls(weight, axis_name=self.axis_name, **kwargs)
         return self._ops[key]
