@@ -1,0 +1,277 @@
+"""Randomized property matrix for the paged-KV store stack.
+
+Reference analogue: tests/accuracy/operators/test_kv_cache.py (825 LoC —
+shape matrices over batch/block-size/context/q-len combinations for the
+chunk planner and every store op). Here the matrix is driven by a
+token-by-token numpy oracle: for each random configuration the oracle
+writes every (sequence, position) pair individually; all vectorized
+paths — chunk-metadata plan, per-token jittable plan, the store ops in
+both cache layouts and experimental variants — must agree with it.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import mojo_opset_tpu as m
+import mojo_opset_tpu.experimental as exp
+from mojo_opset_tpu.core.operators.kv_cache import (
+    build_paged_kv_chunk_metadata,
+    build_paged_kv_token_indices,
+)
+
+
+def _random_case(rng, decode=False, allow_zero_q=True):
+    """A random paged-store configuration with adversarial features:
+    zero-length queries, zero context, block-boundary contexts, unused
+    table slots (-1), multi-block spans."""
+    batch = int(rng.integers(1, 5))
+    block_size = int(rng.choice([2, 4, 8, 16]))
+    max_blocks = int(rng.integers(2, 7))
+    ctx_choices = [0, 1, block_size - 1, block_size, 2 * block_size]
+    ctx = np.array(
+        [min(int(rng.choice(ctx_choices)), (max_blocks - 1) * block_size) for _ in range(batch)],
+        np.int32,
+    )
+    if decode:
+        q_lens = np.ones(batch, np.int32)
+    else:
+        hi = 2 * block_size + 2
+        q_lens = np.array([int(rng.integers(0 if allow_zero_q else 1, hi)) for _ in range(batch)],
+                          np.int32)
+        # clamp so ctx+q fits the table
+        q_lens = np.minimum(q_lens, max_blocks * block_size - ctx).astype(np.int32)
+    # block table: enough real blocks for each row, rest -1
+    table = np.full((batch, max_blocks), -1, np.int32)
+    nxt = 0
+    for b in range(batch):
+        need = -(-(int(ctx[b]) + int(q_lens[b])) // block_size)
+        need = max(need, 1)
+        table[b, :need] = np.arange(nxt, nxt + need)
+        nxt += need
+    n_blocks = nxt + 2
+    return dict(batch=batch, block_size=block_size, table=table, ctx=ctx,
+                q_lens=q_lens, n_blocks=n_blocks)
+
+
+def _oracle_positions(case, decode):
+    """(token, dst_block, dst_offset) triples written token-by-token."""
+    out = []
+    t = 0
+    for b in range(case["batch"]):
+        n_new = 1 if decode else int(case["q_lens"][b])
+        for i in range(n_new):
+            pos = int(case["ctx"][b]) + i
+            logical = pos // case["block_size"]
+            if logical < case["table"].shape[1]:
+                phys = int(case["table"][b, logical])
+                if phys >= 0:
+                    out.append((t, phys, pos % case["block_size"]))
+            t += 1
+    return out
+
+
+@pytest.mark.parametrize("seed", range(12))
+@pytest.mark.parametrize("decode", [False, True])
+def test_token_plan_matches_oracle(seed, decode):
+    rng = np.random.default_rng(seed)
+    case = _random_case(rng, decode=decode)
+    cu = None if decode else jnp.asarray(
+        np.concatenate([[0], np.cumsum(case["q_lens"])]), jnp.int32)
+    T = case["batch"] if decode else int(case["q_lens"].sum())
+    if T == 0:
+        pytest.skip("empty token batch")
+    dst_block, dst_offset = build_paged_kv_token_indices(
+        jnp.asarray(case["table"]), cu, jnp.asarray(case["ctx"]), case["block_size"], T
+    )
+    got = {(t, int(dst_block[t]), int(dst_offset[t]))
+           for t in range(T) if int(dst_block[t]) >= 0}
+    want = set(_oracle_positions(case, decode))
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("decode", [False, True])
+def test_chunk_metadata_covers_exactly_the_oracle_tokens(seed, decode):
+    """Chunk rows, expanded, must cover exactly the oracle's writes —
+    compared as SETS (the reference's explicit unordered contract,
+    kv_cache.py:33-101)."""
+    rng = np.random.default_rng(100 + seed)
+    case = _random_case(rng, decode=decode)
+    cu = None if decode else jnp.asarray(
+        np.concatenate([[0], np.cumsum(case["q_lens"])]), jnp.int32)
+    meta = np.asarray(build_paged_kv_chunk_metadata(
+        jnp.asarray(case["table"]), cu, jnp.asarray(case["ctx"]), case["block_size"]))
+    expanded = set()
+    for src, blk, off, ln in meta:
+        assert ln >= 1
+        assert 0 <= off and off + ln <= case["block_size"]  # chunks never cross blocks
+        for i in range(ln):
+            expanded.add((int(src + i), int(blk), int(off + i)))
+    assert expanded == set(_oracle_positions(case, decode))
+
+
+@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("kv_layout", ["HND", "NHD"])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_store_matches_oracle(seed, kv_layout, dtype):
+    rng = np.random.default_rng(200 + seed)
+    case = _random_case(rng, decode=False)
+    T = int(case["q_lens"].sum())
+    if T == 0:
+        pytest.skip("empty token batch")
+    hkv, d = 2, 8
+    bs = case["block_size"]
+    k_new = jnp.asarray(rng.standard_normal((T, hkv, d)), dtype)
+    v_new = jnp.asarray(rng.standard_normal((T, hkv, d)), dtype)
+    shape = ((case["n_blocks"], hkv, bs, d) if kv_layout == "HND"
+             else (case["n_blocks"], bs, hkv, d))
+    k_cache = jnp.asarray(rng.standard_normal(shape), dtype)
+    v_cache = jnp.asarray(rng.standard_normal(shape), dtype)
+    cu = jnp.asarray(np.concatenate([[0], np.cumsum(case["q_lens"])]), jnp.int32)
+
+    op = m.MojoStorePagedKVCache(kv_layout=kv_layout)
+    got_k, got_v = op(k_new, v_new, k_cache, v_cache, jnp.asarray(case["table"]),
+                      cu, jnp.asarray(case["ctx"]))
+
+    want_k, want_v = np.asarray(k_cache, np.float32), np.asarray(v_cache, np.float32)
+    want_k, want_v = want_k.copy(), want_v.copy()
+    for t, blk, off in _oracle_positions(case, decode=False):
+        if kv_layout == "HND":
+            want_k[blk, :, off, :] = np.asarray(k_new[t], np.float32)
+            want_v[blk, :, off, :] = np.asarray(v_new[t], np.float32)
+        else:
+            want_k[blk, off, :, :] = np.asarray(k_new[t], np.float32)
+            want_v[blk, off, :, :] = np.asarray(v_new[t], np.float32)
+    np.testing.assert_array_equal(np.asarray(got_k, np.float32), want_k)
+    np.testing.assert_array_equal(np.asarray(got_v, np.float32), want_v)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_store_chunk_metadata_path_matches_legacy_path(seed):
+    rng = np.random.default_rng(300 + seed)
+    case = _random_case(rng, decode=False)
+    T = int(case["q_lens"].sum())
+    if T == 0:
+        pytest.skip("empty token batch")
+    hkv, d = 2, 4
+    k_new = jnp.asarray(rng.standard_normal((T, hkv, d)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((T, hkv, d)), jnp.float32)
+    k_cache = jnp.zeros((case["n_blocks"], hkv, case["block_size"], d))
+    v_cache = jnp.zeros_like(k_cache)
+    cu = jnp.asarray(np.concatenate([[0], np.cumsum(case["q_lens"])]), jnp.int32)
+    table = jnp.asarray(case["table"])
+    ctx = jnp.asarray(case["ctx"])
+
+    op = m.MojoStorePagedKVCache()
+    k1, v1 = op(k_new, v_new, k_cache, v_cache, table, cu, ctx)
+    meta = build_paged_kv_chunk_metadata(table, cu, ctx, case["block_size"])
+    k2, v2 = op(k_new, v_new, k_cache, v_cache, chunk_metadata=meta)
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_c8_store_quantizes_at_oracle_positions(seed):
+    rng = np.random.default_rng(400 + seed)
+    case = _random_case(rng, decode=False, allow_zero_q=False)
+    T = int(case["q_lens"].sum())
+    hkv, d = 2, 4
+    bs = case["block_size"]
+    k_new = jnp.asarray(rng.standard_normal((T, hkv, d)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((T, hkv, d)), jnp.float32)
+    k_scale = jnp.asarray(rng.uniform(0.02, 0.1, (hkv, d)), jnp.float32)
+    v_scale = jnp.asarray(rng.uniform(0.02, 0.1, (hkv, d)), jnp.float32)
+    k_cache = jnp.zeros((case["n_blocks"], hkv, bs, d), jnp.int8)
+    v_cache = jnp.zeros_like(k_cache)
+    cu = jnp.asarray(np.concatenate([[0], np.cumsum(case["q_lens"])]), jnp.int32)
+
+    op = exp.MojoStorePagedKVCacheC8()
+    got_k, got_v = op(k_new, v_new, k_cache, v_cache, k_scale, v_scale,
+                      jnp.asarray(case["table"]), cu, jnp.asarray(case["ctx"]))
+    want_k = np.zeros(k_cache.shape, np.int8)
+    want_v = np.zeros_like(want_k)
+    qk = np.clip(np.round(np.asarray(k_new) / np.asarray(k_scale)), -128, 127).astype(np.int8)
+    qv = np.clip(np.round(np.asarray(v_new) / np.asarray(v_scale)), -128, 127).astype(np.int8)
+    for t, blk, off in _oracle_positions(case, decode=False):
+        want_k[blk, :, off, :] = qk[t]
+        want_v[blk, :, off, :] = qv[t]
+    np.testing.assert_array_equal(np.asarray(got_k), want_k)
+    np.testing.assert_array_equal(np.asarray(got_v), want_v)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_mla_store_matches_oracle_with_lane_padded_rope_cache(seed):
+    rng = np.random.default_rng(500 + seed)
+    case = _random_case(rng, decode=True)
+    B = case["batch"]
+    r, dr, pad = 6, 4, 4  # rope cache lane-padded beyond dr
+    bs = case["block_size"]
+    c_new = jnp.asarray(rng.standard_normal((B, r)), jnp.float32)
+    pe_new = jnp.asarray(rng.standard_normal((B, dr)), jnp.float32)
+    c_cache = jnp.zeros((case["n_blocks"], 1, bs, r))
+    pe_cache = jnp.zeros((case["n_blocks"], 1, bs, dr + pad))
+
+    op = exp.MojoStorePagedMLAKVCache()
+    got_c, got_pe = op(c_new, pe_new, c_cache, pe_cache, jnp.asarray(case["table"]),
+                       None, jnp.asarray(case["ctx"]))
+    want_c = np.zeros(c_cache.shape, np.float32)
+    want_pe = np.zeros(pe_cache.shape, np.float32)
+    for t, blk, off in _oracle_positions(case, decode=True):
+        want_c[blk, 0, off, :] = np.asarray(c_new[t])
+        want_pe[blk, 0, off, :dr] = np.asarray(pe_new[t])
+    np.testing.assert_array_equal(np.asarray(got_c), want_c)
+    np.testing.assert_array_equal(np.asarray(got_pe), want_pe)
+
+
+def test_store_lowrank_matches_oracle():
+    rng = np.random.default_rng(0)
+    B, N, S, D, T = 3, 2, 8, 4, 5
+    cache = jnp.asarray(rng.standard_normal((B, N, S, D)), jnp.float32)
+    key_lr = jnp.asarray(rng.standard_normal((T + 2, N, D)), jnp.float32)
+    blocks = jnp.asarray([0, 2, 1, 0, 2, 9, 9], jnp.int32)  # beyond T ignored
+    tokens = jnp.asarray([1, 7, 3, 2, 0, 5, 5], jnp.int32)
+    got = exp.MojoStoreLowrank()(cache, key_lr, blocks, tokens, token_num=T)
+    want = np.asarray(cache).copy()
+    for t in range(T):
+        want[int(blocks[t]), :, int(tokens[t]), :] = np.asarray(key_lr[t])
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_store_then_attend_consistency_random_matrix():
+    """End-to-end: after a random store, paged decode over the cache must
+    equal dense attention over the oracle-reconstructed K/V."""
+    rng = np.random.default_rng(7)
+    for seed in range(3):
+        case = _random_case(rng, decode=False, allow_zero_q=False)
+        hq, hkv, d = 4, 2, 8
+        bs = case["block_size"]
+        # context must be zero for dense reconstruction simplicity
+        case["ctx"][:] = 0
+        T = int(case["q_lens"].sum())
+        k_new = jnp.asarray(rng.standard_normal((T, hkv, d)), jnp.float32)
+        v_new = jnp.asarray(rng.standard_normal((T, hkv, d)), jnp.float32)
+        k_cache = jnp.zeros((case["n_blocks"], hkv, bs, d))
+        v_cache = jnp.zeros_like(k_cache)
+        cu = np.concatenate([[0], np.cumsum(case["q_lens"])])
+        k_cache, v_cache = m.MojoStorePagedKVCache()(
+            k_new, v_new, k_cache, v_cache, jnp.asarray(case["table"]),
+            jnp.asarray(cu, jnp.int32), jnp.asarray(case["ctx"]))
+
+        q = jnp.asarray(rng.standard_normal((case["batch"], hq, d)), jnp.float32)
+        lens = jnp.asarray(case["q_lens"], jnp.int32)
+        got = np.asarray(m.MojoPagedDecodeGQA()(q, k_cache, v_cache, lens,
+                                                jnp.asarray(case["table"])))
+        for b in range(case["batch"]):
+            L = int(case["q_lens"][b])
+            kb = np.asarray(k_new[cu[b]:cu[b] + L])  # (L, hkv, d)
+            vb = np.asarray(v_new[cu[b]:cu[b] + L])
+            kq = np.repeat(kb, hq // hkv, axis=1)
+            vq = np.repeat(vb, hq // hkv, axis=1)
+            scores = np.einsum("hd,lhd->hl", np.asarray(q[b]), kq) / np.sqrt(d)
+            p = np.exp(scores - scores.max(-1, keepdims=True))
+            p /= p.sum(-1, keepdims=True)
+            want_b = np.einsum("hl,lhd->hd", p, vq)
+            np.testing.assert_allclose(got[b], want_b, rtol=2e-5, atol=2e-5)
