@@ -181,26 +181,37 @@ def test_quant_moe_tracks_fp_moe(w_dtype):
 
     up_c, up_s = q(fp.experts.up_proj_weight)
     dn_c, dn_s = q(fp.experts.down_proj_weight)
+    up_stored, dn_stored = up_c, dn_c
     if w_dtype == "int4":
         def pack(c):
             lo = c[:, 0::2].astype(np.int8)
             hi = c[:, 1::2].astype(np.int8)
             return ((hi.astype(np.uint8) << 4) | (lo.astype(np.uint8) & 0xF)).astype(np.int8)
 
-        up_c, dn_c = pack(up_c), pack(dn_c)
+        up_stored, dn_stored = pack(up_c), pack(dn_c)
     qmoe = qmoe.replace(
         gating=qmoe.gating.replace(gate_weight=fp.gating.gate_weight),
         experts=qmoe.experts.replace(
-            up_proj_weight=jnp.asarray(up_c, jnp.int8),
-            down_proj_weight=jnp.asarray(dn_c, jnp.int8),
+            up_proj_weight=jnp.asarray(up_stored, jnp.int8),
+            down_proj_weight=jnp.asarray(dn_stored, jnp.int8),
             up_proj_weight_scale=jnp.asarray(up_s, jnp.bfloat16),
             down_proj_weight_scale=jnp.asarray(dn_s, jnp.bfloat16),
         ),
     )
     got = np.asarray(qmoe(x), np.float64)
-    # pointwise max error is noisy at tiny configs; bound the RMS relative
-    # error (int8 w8a8 ~1%, int4 w4a8 ~6%) and a loose max
-    rms = np.sqrt(((got - want) ** 2).mean()) / (np.sqrt((want**2).mean()) + 1e-9)
-    max_rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
-    rms_tol, max_tol = (0.10, 0.30) if w_dtype == "int4" else (0.02, 0.08)
-    assert rms < rms_tol and max_rel < max_tol, f"{w_dtype}: rms {rms}, max {max_rel}"
+
+    def rel_rms(a, b):
+        return np.sqrt(((a - b) ** 2).mean()) / (np.sqrt((b**2).mean()) + 1e-9)
+
+    # the sharp check: the quant pipeline must match the fp pipeline run
+    # with the DEQUANTIZED weights (isolates plumbing from inherent
+    # weight-quantization noise, which dominates for random int4 weights)
+    ideal = fp.replace(experts=fp.experts.replace(
+        up_proj_weight=jnp.asarray(up_c * up_s[:, :, None], jnp.float32),
+        down_proj_weight=jnp.asarray(dn_c * dn_s[:, :, None], jnp.float32),
+    ))
+    want_ideal = np.asarray(ideal(x), np.float64)
+    assert rel_rms(got, want_ideal) < 0.03, f"{w_dtype} plumbing error"
+    # and the loose sanity bound vs the original fp weights
+    loose = 0.25 if w_dtype == "int4" else 0.05
+    assert rel_rms(got, want) < loose, f"{w_dtype} total quant error"
