@@ -274,7 +274,9 @@ class WanModel(Module):
             grids.append(grid)
         grid_sizes = np.asarray(grids)
         seq_lens = jnp.asarray([tok.shape[1] for tok in tokens], jnp.int32)
-        assert int(seq_lens.max()) <= seq_len
+        # static-shape check (token counts come from shapes, so this stays
+        # a Python assert and the whole forward remains jittable)
+        assert max(tok.shape[1] for tok in tokens) <= seq_len
         xcat = jnp.concatenate(
             [jnp.pad(tok, ((0, 0), (0, seq_len - tok.shape[1]), (0, 0))) for tok in tokens]
         )
