@@ -10,7 +10,8 @@ import jax
 import jax.numpy as jnp
 
 from mojo_opset_tpu.backends.pallas.kernels.group_gemm import grouped_matmul
-from mojo_opset_tpu.core.operators.gemm import MojoGroupGemm
+from mojo_opset_tpu.backends.pallas.kernels.int8_matmul import int8_scaled_matmul
+from mojo_opset_tpu.core.operators.gemm import MojoGroupGemm, MojoQuantGemm
 from mojo_opset_tpu.utils.platform import pallas_interpret_mode
 
 
@@ -45,4 +46,28 @@ class PallasGroupGemm(MojoGroupGemm):
         return grouped_matmul(
             input, weight, jnp.asarray(group_list, jnp.int32),
             bm=bm, bn=bn, bk=bk, interpret=interpret,
+        )
+
+
+class PallasQuantGemm(MojoQuantGemm):
+    """int8 GEMM with the dequant epilogue fused into the final K step
+    (kernels/int8_matmul.py; reference TTX int8_gemm analogue)."""
+
+    def forward(self, input: jax.Array, input_scale: jax.Array) -> jax.Array:
+        M, K = input.shape
+        N = self.out_features
+        # geometry the kernel cannot tile: fall back to the XLA dot path
+        if M % 8 or K % 128 or N % 128:
+            return super().forward(input, input_scale)
+        bm = 512 if M % 512 == 0 else (256 if M % 256 == 0 else
+                                       next(b for b in (128, 64, 32, 16, 8) if M % b == 0))
+        bn = 512 if N % 512 == 0 else (256 if N % 256 == 0 else 128)
+        bk = 1024 if K % 1024 == 0 else (512 if K % 512 == 0 else
+                                         (256 if K % 256 == 0 else 128))
+        return int8_scaled_matmul(
+            input.astype(jnp.int8), self.weight,
+            input_scale.reshape(-1), self.weight_scale,
+            out_dtype=self.output_dtype, bm=bm, bn=bn, bk=bk,
+            trans_weight=self.trans_weight,
+            interpret=pallas_interpret_mode(),
         )

@@ -78,3 +78,40 @@ def test_pallas_paged_prefill_matches_ref():
     op_p = m.MojoPagedPrefillGQA.get_backend_impl("pallas", strict=True)()
     op_r = m.MojoPagedPrefillGQA.get_backend_impl("ref")()
     op_p.forward_diff_with(op_r, *args, atol=1e-4, rtol=1e-4)
+
+
+def test_pallas_quant_gemm_matches_ref():
+    """Fused-dequant int8 matmul vs the golden XLA dot path, both weight
+    layouts and a non-square geometry."""
+    rng = np.random.default_rng(7)
+    for tw, (M, K, N) in (
+        (False, (16, 256, 384)),
+        (True, (24, 384, 128)),
+    ):
+        op_p = m.MojoQuantGemm.get_backend_impl("pallas", strict=True)(
+            K, N, trans_weight=tw)
+        op_r = m.MojoQuantGemm.get_backend_impl("ref")(K, N, trans_weight=tw)
+        w = jnp.asarray(rng.integers(-127, 128, (N, K) if tw else (K, N), np.int8))
+        ws = jnp.asarray(rng.uniform(0.5, 2, (N,)).astype(np.float32), jnp.bfloat16)
+        op_p = op_p.replace(weight=w, weight_scale=ws)
+        op_r = op_r.replace(weight=w, weight_scale=ws)
+        x = jnp.asarray(rng.integers(-127, 128, (M, K), np.int8))
+        xs = jnp.asarray(rng.uniform(0.01, 0.1, (M,)).astype(np.float32))
+        got = np.asarray(op_p(x, xs), np.float32)
+        want = np.asarray(op_r(x, xs), np.float32)
+        np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-2)
+
+
+def test_pallas_quant_gemm_odd_geometry_falls_back():
+    """Non-tileable K keeps correctness through the XLA fallback."""
+    rng = np.random.default_rng(3)
+    op_p = m.MojoQuantGemm.get_backend_impl("pallas", strict=True)(96, 128)
+    op_r = m.MojoQuantGemm.get_backend_impl("ref")(96, 128)
+    w = jnp.asarray(rng.integers(-127, 128, (96, 128), np.int8))
+    op_p = op_p.replace(weight=w)
+    op_r = op_r.replace(weight=w)
+    x = jnp.asarray(rng.integers(-127, 128, (5, 96), np.int8))
+    xs = jnp.asarray(rng.uniform(0.01, 0.1, (5,)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(op_p(x, xs), np.float32), np.asarray(op_r(x, xs), np.float32),
+        rtol=1e-2, atol=1e-2)
