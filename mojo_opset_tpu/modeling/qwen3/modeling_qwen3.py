@@ -22,11 +22,14 @@ import jax.numpy as jnp
 from mojo_opset_tpu.core.module import Module
 from mojo_opset_tpu.core.operators import (
     MojoApplyRoPE,
+    MojoDynamicQuant,
     MojoEmbedding,
     MojoGemm,
     MojoPagedDecodeGQA,
     MojoPagedPrefillGQA,
+    MojoQuantGemm,
     MojoRMSNorm,
+    MojoRMSNormQuant,
     MojoRotaryEmbedding,
     MojoSdpa,
     MojoSilu,
@@ -52,6 +55,11 @@ class Qwen3Config:
     tie_word_embeddings: bool = False
     dtype: object = jnp.bfloat16
     kv_layout: str = "NHD"  # TPU-native paged-cache layout (in-place stores)
+    # "w8a8": int8 weights + per-token dynamic int8 activations on every
+    # projection (QuantGemm/RMSNormQuant/DynamicQuant chain — the fusion
+    # the reference designed those ops for). Decode is HBM-bound, so
+    # halving the weight bytes converts ~directly into tokens/sec.
+    quant: Optional[str] = None
 
     def to_mojo(self) -> MojoConfig:
         return MojoConfig(
@@ -84,10 +92,20 @@ class Qwen3Attention(Module):
         self.num_kv_heads = Hkv
         self.head_dim = D
         bias = c.attention_bias
-        self.q_proj = MojoGemm(c.hidden_size, H * D, bias=bias, key=ks[0], dtype=c.dtype)
-        self.k_proj = MojoGemm(c.hidden_size, Hkv * D, bias=bias, key=ks[1], dtype=c.dtype)
-        self.v_proj = MojoGemm(c.hidden_size, Hkv * D, bias=bias, key=ks[2], dtype=c.dtype)
-        self.o_proj = MojoGemm(H * D, c.hidden_size, bias=False, key=ks[3], dtype=c.dtype)
+        self.quant = c.quant == "w8a8"
+        if self.quant:
+            assert not bias, "w8a8 serving mode has no projection-bias support"
+            mk = lambda k, n: MojoQuantGemm(k, n, output_dtype=c.dtype, trans_weight=True)
+            self.q_proj = mk(c.hidden_size, H * D)
+            self.k_proj = mk(c.hidden_size, Hkv * D)
+            self.v_proj = mk(c.hidden_size, Hkv * D)
+            self.o_proj = mk(H * D, c.hidden_size)
+            self.attn_quant = MojoDynamicQuant()
+        else:
+            self.q_proj = MojoGemm(c.hidden_size, H * D, bias=bias, key=ks[0], dtype=c.dtype)
+            self.k_proj = MojoGemm(c.hidden_size, Hkv * D, bias=bias, key=ks[1], dtype=c.dtype)
+            self.v_proj = MojoGemm(c.hidden_size, Hkv * D, bias=bias, key=ks[2], dtype=c.dtype)
+            self.o_proj = MojoGemm(H * D, c.hidden_size, bias=False, key=ks[3], dtype=c.dtype)
         # Qwen3 per-head q/k RMSNorm over head_dim
         self.q_norm = MojoRMSNorm(D, eps=c.rms_norm_eps)
         self.k_norm = MojoRMSNorm(D, eps=c.rms_norm_eps)
@@ -105,10 +123,17 @@ class Qwen3Attention(Module):
         caches: KVCaches,
         layer_idx: int,
     ):
-        T = hidden.shape[0]
-        q = self.q_proj(hidden).reshape(T, self.num_heads, self.head_dim)
-        k = self.k_proj(hidden).reshape(T, self.num_kv_heads, self.head_dim)
-        v = self.v_proj(hidden).reshape(T, self.num_kv_heads, self.head_dim)
+        if self.quant:
+            x_q, x_s = hidden  # quantized by the decoder layer's RMSNormQuant
+            T = x_q.shape[0]
+            q = self.q_proj(x_q, x_s).reshape(T, self.num_heads, self.head_dim)
+            k = self.k_proj(x_q, x_s).reshape(T, self.num_kv_heads, self.head_dim)
+            v = self.v_proj(x_q, x_s).reshape(T, self.num_kv_heads, self.head_dim)
+        else:
+            T = hidden.shape[0]
+            q = self.q_proj(hidden).reshape(T, self.num_heads, self.head_dim)
+            k = self.k_proj(hidden).reshape(T, self.num_kv_heads, self.head_dim)
+            v = self.v_proj(hidden).reshape(T, self.num_kv_heads, self.head_dim)
         q = self.q_norm(q)
         k = self.k_norm(k)
         q, k = self.apply_rope(q, k, cos, sin, head_first=False)
@@ -134,7 +159,12 @@ class Qwen3Attention(Module):
             attn = self.attn_decode(
                 q, key_cache, value_cache, meta.total_seq_lens, meta.block_tables
             )
-        out = self.o_proj(attn.reshape(T, self.num_heads * self.head_dim))
+        attn = attn.reshape(T, self.num_heads * self.head_dim)
+        if self.quant:
+            a_q, a_s = self.attn_quant(attn)
+            out = self.o_proj(a_q, a_s)
+        else:
+            out = self.o_proj(attn)
         return out, caches
 
     def dense_forward(self, hidden: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
@@ -158,21 +188,37 @@ class Qwen3MLP(Module):
     def __init__(self, config: Qwen3Config, key: jax.Array):
         c = config
         ks = jax.random.split(key, 3)
-        self.gate_proj = MojoGemm(c.hidden_size, c.intermediate_size, bias=False, key=ks[0], dtype=c.dtype)
-        self.up_proj = MojoGemm(c.hidden_size, c.intermediate_size, bias=False, key=ks[1], dtype=c.dtype)
-        self.down_proj = MojoGemm(c.intermediate_size, c.hidden_size, bias=False, key=ks[2], dtype=c.dtype)
+        self.quant = c.quant == "w8a8"
+        if self.quant:
+            mk = lambda k, n: MojoQuantGemm(k, n, output_dtype=c.dtype, trans_weight=True)
+            self.gate_proj = mk(c.hidden_size, c.intermediate_size)
+            self.up_proj = mk(c.hidden_size, c.intermediate_size)
+            self.down_proj = mk(c.intermediate_size, c.hidden_size)
+            self.act_quant = MojoDynamicQuant()
+        else:
+            self.gate_proj = MojoGemm(c.hidden_size, c.intermediate_size, bias=False, key=ks[0], dtype=c.dtype)
+            self.up_proj = MojoGemm(c.hidden_size, c.intermediate_size, bias=False, key=ks[1], dtype=c.dtype)
+            self.down_proj = MojoGemm(c.intermediate_size, c.hidden_size, bias=False, key=ks[2], dtype=c.dtype)
         self.act = MojoSilu()
 
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x) -> jax.Array:
+        if self.quant:
+            x_q, x_s = x  # quantized by the decoder layer's RMSNormQuant
+            h = self.act(self.gate_proj(x_q, x_s)) * self.up_proj(x_q, x_s)
+            h_q, h_s = self.act_quant(h)
+            return self.down_proj(h_q, h_s)
         return self.down_proj(self.act(self.gate_proj(x)) * self.up_proj(x))
 
 
 class Qwen3DecoderLayer(Module):
     def __init__(self, config: Qwen3Config, key: jax.Array):
         k1, k2 = jax.random.split(key)
-        self.input_layernorm = MojoRMSNorm(config.hidden_size, eps=config.rms_norm_eps)
+        norm_cls = (
+            MojoRMSNormQuant if config.quant == "w8a8" else MojoRMSNorm
+        )  # fused norm+quant feeds int8 straight into the projections
+        self.input_layernorm = norm_cls(config.hidden_size, eps=config.rms_norm_eps)
         self.self_attn = Qwen3Attention(config, k1)
-        self.post_attention_layernorm = MojoRMSNorm(config.hidden_size, eps=config.rms_norm_eps)
+        self.post_attention_layernorm = norm_cls(config.hidden_size, eps=config.rms_norm_eps)
         self.mlp = Qwen3MLP(config, k2)
 
     def __call__(self, hidden, cos, sin, meta, caches, layer_idx):
@@ -241,8 +287,17 @@ class Qwen3ForCausalLM(Module):
         k1, k2 = jax.random.split(key)
         self._config = config
         self.model = Qwen3Model(config, k1)
+        self.lm_head_quant = (
+            MojoDynamicQuant() if config.quant == "w8a8" and not config.tie_word_embeddings
+            else None
+        )
         if config.tie_word_embeddings:
             self.lm_head = None
+        elif config.quant == "w8a8":
+            self.lm_head = MojoQuantGemm(
+                config.hidden_size, config.vocab_size,
+                output_dtype=config.dtype, trans_weight=True,
+            )
         else:
             self.lm_head = MojoGemm(
                 config.hidden_size, config.vocab_size, bias=False, key=k2, dtype=config.dtype
@@ -262,6 +317,9 @@ class Qwen3ForCausalLM(Module):
             hidden = hidden[lm_head_indices]
         if self.lm_head is None:
             logits = hidden @ self.model.embed_tokens.weight.T
+        elif self.lm_head_quant is not None:
+            h_q, h_s = self.lm_head_quant(hidden)
+            logits = self.lm_head(h_q, h_s)
         else:
             logits = self.lm_head(hidden)
         return logits.astype(jnp.float32), caches

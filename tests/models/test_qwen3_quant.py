@@ -1,0 +1,95 @@
+"""w8a8 Qwen3 serving-mode tests.
+
+The quantized model must track the bf16 model closely (post-training
+absmax w8a8 keeps logits within ~1% relative error on well-conditioned
+weights) and run the full paged generate loop.  Reference op contracts:
+gemm.py:127-231 (QuantGemm), normalization.py:136-213 (RMSNormQuant).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mojo_opset_tpu.core.operators import MojoGemm, MojoQuantGemm
+from mojo_opset_tpu.modeling.qwen3 import Qwen3Config, Qwen3ForCausalLM, quantize_qwen3
+from mojo_opset_tpu.runtime import PagedAttentionGenerationModel
+
+
+def _tiny_cfg(**kw):
+    return Qwen3Config(
+        hidden_size=128, intermediate_size=256, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=3, head_dim=32,
+        vocab_size=512, max_position_embeddings=256, dtype=jnp.float32, **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def models():
+    base = Qwen3ForCausalLM(_tiny_cfg(), key=jax.random.PRNGKey(11))
+    return base, quantize_qwen3(base)
+
+
+def _logits(model, ids):
+    gm = PagedAttentionGenerationModel(model, block_size=16)
+    logits, _ = gm(ids, context_input_len=np.array([len(ids)], np.int32))
+    return np.asarray(logits, np.float32)
+
+
+def test_quant_model_structure(models):
+    _, qm = models
+    attn = qm.model.layers[0].self_attn
+    assert isinstance(attn.q_proj, MojoQuantGemm)
+    assert attn.q_proj.weight.dtype == jnp.int8
+    assert isinstance(qm.model.layers[0].mlp.down_proj, MojoQuantGemm)
+    assert not isinstance(qm.lm_head, MojoGemm)
+    # norm weights copied, not re-initialised
+    np.testing.assert_array_equal(
+        np.asarray(qm.model.layers[1].input_layernorm.weight),
+        np.asarray(models[0].model.layers[1].input_layernorm.weight),
+    )
+
+
+def test_quant_logits_track_bf16(models):
+    base, qm = models
+    ids = np.array([3, 141, 59, 26, 200, 77, 12], np.int32)
+    lb = _logits(base, ids)
+    lq = _logits(qm, ids)
+    cos = float(
+        (lb * lq).sum()
+        / (np.linalg.norm(lb) * np.linalg.norm(lq) + 1e-12)
+    )
+    assert cos > 0.995, f"quantized logits diverged: cos={cos}"
+    # the argmax token should agree (greedy decode fidelity)
+    assert int(lb.argmax()) == int(lq.argmax())
+
+
+def test_quant_generation_runs(models):
+    _, qm = models
+    from mojo_opset_tpu.runtime import MojoGenerator, TopKSampler
+
+    class Tok:
+        eos_token_id = 0
+
+    gen = MojoGenerator(
+        PagedAttentionGenerationModel(qm, block_size=16), Tok(),
+        TopKSampler(1), max_new_tokens=6,
+    )
+    out = gen.generate_from_ids(
+        np.array([5, 6, 7, 8], np.int32), np.array([4], np.int32),
+        ignore_eos=True, silent=True,
+    )
+    assert out.shape == (1, 6)
+
+
+def test_weight_quantizer_roundtrip():
+    from mojo_opset_tpu.modeling.qwen3.quantize import quantize_linear_weight
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(0, 0.05, (64, 96)).astype(np.float32))
+    w_i8, scale = quantize_linear_weight(w)
+    assert w_i8.dtype == jnp.int8
+    recon = np.asarray(w_i8, np.float32) * np.asarray(scale)[:, None]
+    err = np.abs(recon - np.asarray(w)).max()
+    assert err <= float(np.asarray(scale).max()) * 0.5 + 1e-7
