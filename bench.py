@@ -87,36 +87,21 @@ def _toy_config():
     )
 
 
-def bench_qwen3_e2e(rec: dict):
-    """E2e PerfMojoGenerator protocol numbers at real Qwen3-4B geometry.
+def _decode_per_step_s(model, cfg, batch: int = 8, ctx: int = 4000):
+    """Marginal per-step decode cost (s) at bs=batch @ ctx, FusedDecode.
 
-    Decode: bs=8 @ ctx 4000 (protocol: generation.py:324-373), marginal
-    cost between a short and a long FusedDecode window.  Prefill: bs=1 at
-    512 tokens, marginal cost across pipelined calls (steady-state).
+    Returns (per_step_seconds, session_dtype_str). Each timed(steps) call
+    advances the session by steps*(reps+1) tokens per sequence:
+    8*4 + 88*4 = 384 total, inside the 416-token window budget.
     """
-    from mojo_opset_tpu.modeling.qwen3 import Qwen3ForCausalLM
     from mojo_opset_tpu.runtime import PagedAttentionGenerationModel
     from mojo_opset_tpu.runtime.session import FusedDecode
-    from mojo_opset_tpu.utils.init import build_on_device
     from mojo_opset_tpu.benchmark import device_sync
 
-    on_tpu = jax.default_backend() in ("tpu", "axon")
-    cfg = qwen3_4b_config() if on_tpu else _toy_config()
-
-    model = build_on_device(Qwen3ForCausalLM, cfg, key=jax.random.PRNGKey(0))
-    n_params = sum(l.size for l in jax.tree_util.tree_leaves(model) if hasattr(l, "size"))
-    rec["model_params_b"] = round(n_params / 1e9, 3)
-    rec["model_geometry"] = (
-        f"{cfg.num_hidden_layers}L/{cfg.hidden_size}h/"
-        f"{cfg.num_attention_heads}q{cfg.num_key_value_heads}kv/v{cfg.vocab_size}"
-    )
     gm = PagedAttentionGenerationModel(model, block_size=64)
     rng = np.random.default_rng(0)
-
-    # ---- decode throughput, bs=8 @ ctx 4000 ----
-    B, CTX = 8, 4000
-    ids = rng.integers(0, cfg.vocab_size, (B * CTX,)).astype(np.int32)
-    lens = np.full((B,), CTX, np.int32)
+    ids = rng.integers(0, cfg.vocab_size, (batch * ctx,)).astype(np.int32)
+    lens = np.full((batch,), ctx, np.int32)
     logits, session = gm(ids, context_input_len=lens)
     tok = jnp.argmax(logits, -1).astype(jnp.int32)
     fused = FusedDecode(model, sample_method="greedy")
@@ -132,10 +117,39 @@ def bench_qwen3_e2e(rec: dict):
             best = min(best, time.perf_counter() - t0)
         return best
 
-    # each timed(steps) advances the session by steps*(reps+1) tokens per
-    # sequence: 8*4 + 88*4 = 384 total, inside the 416-token budget above
     t_small, t_large = timed(8), timed(88)
-    per_step = (t_large - t_small) / 80
+    kv_dtype = str(session.caches.keys[0].dtype)
+    del session, logits, tok
+    return (t_large - t_small) / 80, kv_dtype
+
+
+def bench_qwen3_e2e(rec: dict):
+    """E2e PerfMojoGenerator protocol numbers at real Qwen3-4B geometry.
+
+    Decode: bs=8 @ ctx 4000 (protocol: generation.py:324-373), marginal
+    cost between a short and a long FusedDecode window.  Prefill: bs=1 at
+    512 tokens, marginal cost across pipelined calls (steady-state).
+    """
+    from mojo_opset_tpu.modeling.qwen3 import Qwen3ForCausalLM
+    from mojo_opset_tpu.runtime import PagedAttentionGenerationModel
+    from mojo_opset_tpu.utils.init import build_on_device
+    from mojo_opset_tpu.benchmark import device_sync
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    cfg = qwen3_4b_config() if on_tpu else _toy_config()
+
+    model = build_on_device(Qwen3ForCausalLM, cfg, key=jax.random.PRNGKey(0))
+    n_params = sum(l.size for l in jax.tree_util.tree_leaves(model) if hasattr(l, "size"))
+    rec["model_params_b"] = round(n_params / 1e9, 3)
+    rec["model_geometry"] = (
+        f"{cfg.num_hidden_layers}L/{cfg.hidden_size}h/"
+        f"{cfg.num_attention_heads}q{cfg.num_key_value_heads}kv/v{cfg.vocab_size}"
+    )
+    rng = np.random.default_rng(0)
+
+    # ---- decode throughput, bs=8 @ ctx 4000 ----
+    B, CTX = 8, 4000 if on_tpu else 1024  # toy window is 2048
+    per_step, _ = _decode_per_step_s(model, cfg, B, CTX)
     rec["qwen3_decode_tok_s_chip"] = round(B / per_step, 1)
     rec["qwen3_decode_ms_step"] = round(per_step * 1e3, 2)
     # HBM roofline: every step reads all weights + this batch's KV window
@@ -147,10 +161,11 @@ def bench_qwen3_e2e(rec: dict):
     rec["qwen3_decode_hbm_util"] = round(
         (weight_bytes + kv_bytes) / per_step / (V5E_HBM_GBPS * 1e9), 3
     )
+    gm = PagedAttentionGenerationModel(model, block_size=64)
 
     # ---- prefill latency, bs=1 @ 512 (marginal across pipelined calls,
-    # session reused — serving allocates the KV pool once) ----
-    del session, logits, tok  # free the 5 GB decode cache pool first
+    # session reused — serving allocates the KV pool once; the decode
+    # session was freed inside _decode_per_step_s) ----
     S = 512
     pids = rng.integers(0, cfg.vocab_size, (S,)).astype(np.int32)
     plens = np.full((1,), S, np.int32)
@@ -178,6 +193,41 @@ def bench_qwen3_e2e(rec: dict):
     return rec
 
 
+def bench_qwen3_int8_serving(rec: dict):
+    """int8 serving mode at the same Qwen3-4B geometry: w8a8 weights
+    (MojoRMSNormQuant/MojoQuantGemm/MojoDynamicQuant chain) + C8 int8 KV
+    cache (MojoStorePagedKVCacheC8 + KV-dequant attention).  Decode HBM
+    traffic roughly halves vs bf16, which converts ~directly into tok/s.
+    """
+    import dataclasses
+
+    from mojo_opset_tpu.modeling.qwen3 import Qwen3ForCausalLM, quantize_qwen3
+    from mojo_opset_tpu.utils.init import build_on_device, device_init_scope
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    cfg = qwen3_4b_config() if on_tpu else _toy_config()
+    cfg = dataclasses.replace(cfg, quant_kv=True)
+
+    base = build_on_device(Qwen3ForCausalLM, cfg, key=jax.random.PRNGKey(0))
+
+    # Quantize ON DEVICE in one jitted program (donating the bf16 weights):
+    # the ctor inside quantize_qwen3 must use traced init so no host
+    # constants are baked into the executable.
+    def qmake(m):
+        with device_init_scope():
+            return quantize_qwen3(m)
+
+    model = jax.jit(qmake, donate_argnums=0)(base)
+    del base
+
+    B, CTX = 8, 4000 if on_tpu else 1024
+    per_step, kv_dtype = _decode_per_step_s(model, cfg, B, CTX)
+    rec["qwen3_int8_decode_tok_s_chip"] = round(B / per_step, 1)
+    rec["qwen3_int8_decode_ms_step"] = round(per_step * 1e3, 2)
+    rec["qwen3_int8_kv_dtype"] = kv_dtype
+    return rec
+
+
 def main():
     us, impl = bench_paged_decode_gqa()
     rec = {
@@ -194,6 +244,10 @@ def main():
         bench_qwen3_e2e(rec)
     except Exception as exc:  # never lose the headline metric
         rec["qwen3_e2e_error"] = repr(exc)[:200]
+    try:
+        bench_qwen3_int8_serving(rec)
+    except Exception as exc:
+        rec["qwen3_int8_error"] = repr(exc)[:200]
     print(json.dumps(rec))
 
 

@@ -26,22 +26,36 @@ import jax.numpy as jnp
 
 
 def build_model(args):
-    from mojo_opset_tpu.modeling.qwen3 import Qwen3Config, Qwen3ForCausalLM
+    import dataclasses
+
+    from mojo_opset_tpu.modeling.qwen3 import Qwen3Config, Qwen3ForCausalLM, quantize_qwen3
 
     if args.checkpoint:
         from mojo_opset_tpu.utils.patching import apply_mojo_to_qwen3
 
-        return apply_mojo_to_qwen3(args.checkpoint, key=jax.random.PRNGKey(0))
-    if args.tiny:
-        cfg = Qwen3Config(
-            hidden_size=256, intermediate_size=512, num_attention_heads=8,
-            num_key_value_heads=4, num_hidden_layers=4, head_dim=32,
-            vocab_size=32000, max_position_embeddings=4096,
-            dtype=jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32,
-        )
+        model = apply_mojo_to_qwen3(args.checkpoint, key=jax.random.PRNGKey(0))
     else:
-        cfg = Qwen3Config()  # 32-layer default
-    return Qwen3ForCausalLM(cfg, key=jax.random.PRNGKey(0))
+        if args.tiny:
+            cfg = Qwen3Config(
+                hidden_size=256, intermediate_size=512, num_attention_heads=8,
+                num_key_value_heads=4, num_hidden_layers=4, head_dim=32,
+                vocab_size=32000, max_position_embeddings=4096,
+                dtype=jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32,
+            )
+        else:
+            cfg = Qwen3Config()  # 32-layer default
+        model = Qwen3ForCausalLM(cfg, key=jax.random.PRNGKey(0))
+    if args.quant_kv:
+        # int8 KV cache: rebuild the attention wiring; the parameter pytree
+        # is identical, so the weights transfer leaf-for-leaf
+        cfg = dataclasses.replace(model.qwen3_config, quant_kv=True)
+        kvm = Qwen3ForCausalLM(cfg, key=jax.random.PRNGKey(0))
+        model = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(kvm), jax.tree_util.tree_leaves(model)
+        )
+    if args.quant == "w8a8":
+        model = quantize_qwen3(model)
+    return model
 
 
 class _FallbackTokenizer:
@@ -73,6 +87,10 @@ def main():
                         help="decode the whole window in one fused XLA executable")
     parser.add_argument("--perf", action="store_true", help="run the PerfMojoGenerator sweep")
     parser.add_argument("--tiny", action="store_true", help="small random model (no checkpoint)")
+    parser.add_argument("--quant", default=None, choices=(None, "w8a8"),
+                        help="post-training int8 weight+activation serving mode")
+    parser.add_argument("--quant-kv", action="store_true",
+                        help="int8 (C8) KV cache with prefill-calibrated channel scales")
     args = parser.parse_args()
 
     from mojo_opset_tpu.runtime import (

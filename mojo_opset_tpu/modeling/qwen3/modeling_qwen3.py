@@ -60,6 +60,10 @@ class Qwen3Config:
     # the reference designed those ops for). Decode is HBM-bound, so
     # halving the weight bytes converts ~directly into tokens/sec.
     quant: Optional[str] = None
+    # int8 (C8) KV cache: per-channel scales self-calibrated at prefill
+    # (amax/127 + headroom), decode reads through the KV-dequant attention
+    # ops. Halves the KV side of the decode HBM traffic. Forces HND layout.
+    quant_kv: bool = False
 
     def to_mojo(self) -> MojoConfig:
         return MojoConfig(
@@ -78,7 +82,8 @@ class Qwen3Config:
                 rms_norm_eps=self.rms_norm_eps,
                 intermediate_size=self.intermediate_size,
                 tie_word_embeddings=self.tie_word_embeddings,
-                kv_layout=self.kv_layout,
+                kv_layout="HND" if self.quant_kv else self.kv_layout,
+                kv_cache_quant=self.quant_kv,
             )
         )
 
@@ -110,9 +115,23 @@ class Qwen3Attention(Module):
         self.q_norm = MojoRMSNorm(D, eps=c.rms_norm_eps)
         self.k_norm = MojoRMSNorm(D, eps=c.rms_norm_eps)
         self.apply_rope = MojoApplyRoPE()
-        self.store_kv = MojoStorePagedKVCache(kv_layout=c.kv_layout)
-        self.attn_prefill = MojoPagedPrefillGQA(gqa_layout="AABB", kv_layout=c.kv_layout)
-        self.attn_decode = MojoPagedDecodeGQA(gqa_layout="AABB", kv_layout=c.kv_layout)
+        self.quant_kv = c.quant_kv
+        if self.quant_kv:
+            from mojo_opset_tpu.experimental.operators import (
+                MojoPagedDecodeGQAWithKVDequant,
+                MojoPagedPrefillGQAWithKVDequant,
+                MojoStorePagedKVCacheC8,
+            )
+
+            self.store_kv = MojoStorePagedKVCacheC8()
+            self.attn_prefill = MojoPagedPrefillGQAWithKVDequant(
+                gqa_layout="AABB", query_dtype=c.dtype, compute_dtype=c.dtype)
+            self.attn_decode = MojoPagedDecodeGQAWithKVDequant(
+                gqa_layout="AABB", query_dtype=c.dtype, compute_dtype=c.dtype)
+        else:
+            self.store_kv = MojoStorePagedKVCache(kv_layout=c.kv_layout)
+            self.attn_prefill = MojoPagedPrefillGQA(gqa_layout="AABB", kv_layout=c.kv_layout)
+            self.attn_decode = MojoPagedDecodeGQA(gqa_layout="AABB", kv_layout=c.kv_layout)
 
     def __call__(
         self,
@@ -139,21 +158,51 @@ class Qwen3Attention(Module):
         q, k = self.apply_rope(q, k, cos, sin, head_first=False)
 
         key_cache, value_cache = caches.key(layer_idx), caches.value(layer_idx)
-        key_cache, value_cache = self.store_kv(
-            k, v, key_cache, value_cache,
-            meta.block_tables,
-            meta.cu_q_lens if meta.is_prefill else None,
-            meta.context_kv_lens,
-        )
+        if self.quant_kv:
+            ks, vs = caches.key_scale(layer_idx), caches.value_scale(layer_idx)
+            if meta.is_prefill:
+                # self-calibrate the per-channel scales from the prefill
+                # tokens (+25% headroom so decode tokens rarely clip)
+                ks = jnp.maximum(
+                    ks, jnp.max(jnp.abs(k.astype(jnp.float32)), axis=0) / 127.0 * 1.25)
+                vs = jnp.maximum(
+                    vs, jnp.max(jnp.abs(v.astype(jnp.float32)), axis=0) / 127.0 * 1.25)
+                ks = jnp.maximum(ks, 1e-6)
+                vs = jnp.maximum(vs, 1e-6)
+                caches = caches.update_scales(layer_idx, ks, vs)
+            key_cache, value_cache = self.store_kv(
+                k, v, key_cache, value_cache, ks, vs,
+                meta.block_tables,
+                meta.cu_q_lens if meta.is_prefill else None,
+                meta.context_kv_lens,
+            )
+        else:
+            key_cache, value_cache = self.store_kv(
+                k, v, key_cache, value_cache,
+                meta.block_tables,
+                meta.cu_q_lens if meta.is_prefill else None,
+                meta.context_kv_lens,
+            )
         caches = caches.update(layer_idx, key_cache, value_cache)
 
         if meta.is_prefill:
             cu_total = jnp.concatenate(
                 [jnp.zeros((1,), jnp.int32), jnp.cumsum(meta.total_seq_lens)]
             ).astype(jnp.int32)
-            attn = self.attn_prefill(
-                q, key_cache, value_cache, meta.cu_q_lens, meta.block_tables,
-                None, cu_total,
+            if self.quant_kv:
+                attn = self.attn_prefill(
+                    q, None, key_cache, ks, value_cache, vs,
+                    meta.cu_q_lens, meta.block_tables, None, cu_total,
+                )
+            else:
+                attn = self.attn_prefill(
+                    q, key_cache, value_cache, meta.cu_q_lens, meta.block_tables,
+                    None, cu_total,
+                )
+        elif self.quant_kv:
+            attn = self.attn_decode(
+                q, None, key_cache, ks, value_cache, vs,
+                meta.total_seq_lens, meta.block_tables,
             )
         else:
             attn = self.attn_decode(

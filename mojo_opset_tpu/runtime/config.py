@@ -78,6 +78,11 @@ class MojoModelConfig(MojoDynamicConfig):
     # (see core/operators/attention.py paged_cache_dims)
     kv_layout: str = "NHD"
 
+    # int8 (C8) KV cache with per-channel scales (reference
+    # experimental/operators/kv_cache.py:109 + kv-dequant attention);
+    # halves the decode-step cache traffic. Requires HND layout.
+    kv_cache_quant: bool = False
+
     rope_theta: float = 10000.0
     rope_mode: str = ""
     rope_scale: int = 1

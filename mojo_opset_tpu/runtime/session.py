@@ -73,10 +73,15 @@ class KVCaches:
     Registered as a pytree so it can cross jit boundaries (and be donated).
     """
 
-    def __init__(self, keys: List[jax.Array], values: List[jax.Array], slot_of_layer: List[int]):
+    def __init__(self, keys: List[jax.Array], values: List[jax.Array], slot_of_layer: List[int],
+                 key_scales: List[jax.Array] = (), value_scales: List[jax.Array] = ()):
         self.keys = list(keys)
         self.values = list(values)
         self.slot_of_layer = list(slot_of_layer)
+        # per-slot (Hkv, D) fp32 channel scales — populated only for int8
+        # (C8) caches; prefill self-calibrates them (amax/127 + headroom)
+        self.key_scales = list(key_scales)
+        self.value_scales = list(value_scales)
 
     @classmethod
     def create(
@@ -105,6 +110,12 @@ class KVCaches:
             slot_of_layer[layer_idx] = len(keys)
             keys.append(jnp.zeros(cache_shape, dtype))
             values.append(jnp.zeros(cache_shape, dtype))
+        if jnp.dtype(dtype) == jnp.int8:
+            # HND int8 cache: (N, Hkv, bs, D) -> channel scales (Hkv, D)
+            n_kv, head_dim = cache_shape[1], cache_shape[3]
+            key_scales = [jnp.zeros((n_kv, head_dim), jnp.float32) for _ in keys]
+            value_scales = [jnp.zeros((n_kv, head_dim), jnp.float32) for _ in keys]
+            return cls(keys, values, slot_of_layer, key_scales, value_scales)
         return cls(keys, values, slot_of_layer)
 
     def key(self, layer_idx: int) -> jax.Array:
@@ -119,18 +130,32 @@ class KVCaches:
         values = list(self.values)
         keys[slot] = new_key
         values[slot] = new_value
-        return KVCaches(keys, values, self.slot_of_layer)
+        return KVCaches(keys, values, self.slot_of_layer, self.key_scales, self.value_scales)
+
+    def key_scale(self, layer_idx: int) -> jax.Array:
+        return self.key_scales[self.slot_of_layer[layer_idx]]
+
+    def value_scale(self, layer_idx: int) -> jax.Array:
+        return self.value_scales[self.slot_of_layer[layer_idx]]
+
+    def update_scales(self, layer_idx: int, new_ks: jax.Array, new_vs: jax.Array) -> "KVCaches":
+        slot = self.slot_of_layer[layer_idx]
+        key_scales = list(self.key_scales)
+        value_scales = list(self.value_scales)
+        key_scales[slot] = new_ks
+        value_scales[slot] = new_vs
+        return KVCaches(self.keys, self.values, self.slot_of_layer, key_scales, value_scales)
 
     @property
     def num_layers(self) -> int:
         return len(self.slot_of_layer)
 
     def tree_flatten(self):
-        return (self.keys, self.values), tuple(self.slot_of_layer)
+        return (self.keys, self.values, self.key_scales, self.value_scales), tuple(self.slot_of_layer)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], list(aux))
+        return cls(children[0], children[1], list(aux), children[2], children[3])
 
 
 jax.tree_util.register_pytree_node(
@@ -181,6 +206,9 @@ class PagedAttentionRuntimeState:
             self._native = None
 
         self.kv_layout = getattr(mc, "kv_layout", "HND") or "HND"
+        if getattr(mc, "kv_cache_quant", False):
+            self.dtype = jnp.int8
+            self.kv_layout = "HND"  # the C8 store/dequant contract layout
         if self.kv_layout == "NHD":
             # TPU-native layout: token rows contiguous -> in-place stores
             cache_shape = (total_blocks, block_size, self.num_kv_heads, self.head_dim)

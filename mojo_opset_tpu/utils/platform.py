@@ -38,7 +38,12 @@ def get_platform() -> str:
     try:
         import jax
 
-        platform = jax.devices()[0].platform
+        # When the platform is pinned (JAX_PLATFORMS / jax_platforms), trust
+        # the pin instead of instantiating the backend: jax.devices() on a
+        # tunneled single-chip backend (axon) blocks on the remote end and
+        # HANGS outright if the tunnel is down — import must never do that.
+        pinned = str(getattr(jax.config, "jax_platforms", "") or "")
+        platform = pinned.split(",")[0].strip() if pinned else jax.devices()[0].platform
     except Exception:
         return "cpu"
     if platform in ("tpu", "axon"):

@@ -93,3 +93,100 @@ def test_weight_quantizer_roundtrip():
     recon = np.asarray(w_i8, np.float32) * np.asarray(scale)[:, None]
     err = np.abs(recon - np.asarray(w)).max()
     assert err <= float(np.asarray(scale).max()) * 0.5 + 1e-7
+
+
+@pytest.fixture(scope="module")
+def kv_models():
+    base = Qwen3ForCausalLM(_tiny_cfg(), key=jax.random.PRNGKey(11))
+    import dataclasses
+
+    kv_cfg = dataclasses.replace(base.qwen3_config, quant_kv=True)
+    kvm = Qwen3ForCausalLM(kv_cfg, key=jax.random.PRNGKey(11))  # same weights
+    return base, kvm
+
+
+def test_quant_kv_cache_is_int8(kv_models):
+    _, kvm = kv_models
+    gm = PagedAttentionGenerationModel(kvm, block_size=16)
+    ids = np.array([3, 141, 59, 26], np.int32)
+    _, session = gm(ids, context_input_len=np.array([4], np.int32))
+    assert session.caches.keys[0].dtype == jnp.int8
+    assert session.kv_layout == "HND"
+    # prefill self-calibrated the channel scales
+    assert float(np.asarray(session.caches.key_scales[0]).max()) > 0
+
+
+def test_quant_kv_logits_track_fp(kv_models):
+    base, kvm = kv_models
+    ids = np.array([3, 141, 59, 26, 200, 77, 12, 44], np.int32)
+    lb = _logits(base, ids)
+    lq = _logits(kvm, ids)
+    cos = float((lb * lq).sum() / (np.linalg.norm(lb) * np.linalg.norm(lq) + 1e-12))
+    assert cos > 0.99, f"int8-KV logits diverged: cos={cos}"
+    assert int(lb.argmax()) == int(lq.argmax())
+
+
+def test_quant_kv_greedy_decode_matches_fp(kv_models):
+    """Multi-step greedy decode: int8 KV should reproduce the fp token
+    stream on a well-conditioned tiny model (decode tokens quantize with
+    the prefill-calibrated scales)."""
+    base, kvm = kv_models
+    from mojo_opset_tpu.runtime import MojoGenerator, TopKSampler
+
+    class Tok:
+        eos_token_id = 0
+
+    outs = []
+    for mdl in (base, kvm):
+        gen = MojoGenerator(
+            PagedAttentionGenerationModel(mdl, block_size=16), Tok(),
+            TopKSampler(1), max_new_tokens=8,
+        )
+        outs.append(gen.generate_from_ids(
+            np.array([9, 10, 11, 12, 13], np.int32), np.array([5], np.int32),
+            ignore_eos=True, silent=True,
+        ))
+    agree = (outs[0] == outs[1]).mean()
+    assert agree >= 0.75, f"int8-KV decode diverged early: {outs[0]} vs {outs[1]}"
+
+
+def test_w8a8_plus_int8_kv_runs():
+    """Full int8 serving config: w8a8 weights + C8 KV cache."""
+    base = Qwen3ForCausalLM(_tiny_cfg(quant_kv=True), key=jax.random.PRNGKey(2))
+    qm = quantize_qwen3(base)
+    assert qm.qwen3_config.quant_kv
+    gm = PagedAttentionGenerationModel(qm, block_size=16)
+    ids = np.array([3, 141, 59, 26], np.int32)
+    logits, session = gm(ids, context_input_len=np.array([4], np.int32))
+    assert session.caches.keys[0].dtype == jnp.int8
+    # one decode step through the KV-dequant path
+    logits2, _ = gm(np.array([int(np.asarray(logits).argmax())], np.int32), session=session)
+    assert np.isfinite(np.asarray(logits2)).all()
+
+
+def test_int8_serving_fused_decode():
+    """The bench path: int8 serving model under FusedDecode (scales ride
+    the session pytree through lax.scan with donated caches)."""
+    from mojo_opset_tpu.runtime.session import FusedDecode
+
+    base = Qwen3ForCausalLM(_tiny_cfg(quant_kv=True), key=jax.random.PRNGKey(5))
+    qm = quantize_qwen3(base)
+    gm = PagedAttentionGenerationModel(qm, block_size=16)
+    ids = np.array([3, 141, 59, 26, 7, 9], np.int32)
+    logits, session = gm(ids, context_input_len=np.array([6], np.int32))
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    fused = FusedDecode(qm, sample_method="greedy")
+    toks = fused(session, tok, 5)
+    toks = np.asarray(toks)
+    assert toks.shape == (5, 1)
+    assert ((0 <= toks) & (toks < 512)).all()
+    # fused window must equal step-by-step decode through the same model
+    logits2, session2 = gm(ids, context_input_len=np.array([6], np.int32))
+    t = jnp.argmax(logits2, -1).astype(jnp.int32)
+    seq = []
+    for _ in range(5):
+        lg, session2 = gm(np.asarray(t, np.int32), session=session2)
+        t = jnp.argmax(lg, -1).astype(jnp.int32)
+        seq.append(int(np.asarray(t)[0]))
+    # note: fused returns the token sampled AT each step, i.e. seq shifted
+    np.testing.assert_array_equal(toks[:, 0], np.asarray(seq))
