@@ -105,3 +105,46 @@ def test_batched_varlen_prefill_matches_hf(hf_checkpoint):
     for i, s in enumerate(seqs):
         want = _hf_logits(hf_model, s[None])[0, -1]
         np.testing.assert_allclose(got[i], want, atol=2e-3, rtol=2e-3)
+
+
+def test_int8_serving_tracks_hf(hf_checkpoint):
+    """Full int8 serving config (w8a8 weights + C8 KV cache) built from a
+    REAL HF checkpoint must track the canonical torch fp32 logits: high
+    cosine similarity and greedy-token agreement on a short decode."""
+    import dataclasses
+
+    from mojo_opset_tpu.modeling.qwen3 import Qwen3ForCausalLM, quantize_qwen3
+
+    hf_model, path = hf_checkpoint
+    model = apply_mojo_to_qwen3(path, key=jax.random.PRNGKey(0))
+    kv_cfg = dataclasses.replace(model.qwen3_config, quant_kv=True)
+    kvm = Qwen3ForCausalLM(kv_cfg, key=jax.random.PRNGKey(0))
+    model = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(kvm), jax.tree_util.tree_leaves(model)
+    )
+    qm = quantize_qwen3(model)
+    gm = PagedAttentionGenerationModel(qm, block_size=16, jit=False)
+
+    ids = np.array([3, 17, 42, 5, 99, 1, 64, 23], np.int32)
+    logits, session = gm(ids, context_input_len=np.array([len(ids)], np.int32))
+    got = np.asarray(logits, np.float32)[0]
+    want = _hf_logits(hf_model, ids[None])[0, -1]
+    cos = float((got * want).sum() / (np.linalg.norm(got) * np.linalg.norm(want) + 1e-12))
+    assert cos > 0.99, f"int8 serving logits diverged from HF: cos={cos}"
+    assert int(got.argmax()) == int(want.argmax())
+
+    # teacher-forced decode: feed OUR greedy tokens to the HF oracle and
+    # require per-step logits cosine > 0.99 (argmax agreement on a random
+    # tiny model is meaningless past the first steps — near-zero margins)
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    fed = list(ids) + [int(tok[0])]
+    for step in range(3):
+        logits, session = gm(tok, session=session)
+        got = np.asarray(logits, np.float32)[0]
+        want = _hf_logits(hf_model, np.array([fed]))[0, -1]
+        cos = float(
+            (got * want).sum() / (np.linalg.norm(got) * np.linalg.norm(want) + 1e-12)
+        )
+        assert cos > 0.99, f"int8 decode step {step} diverged from HF: cos={cos}"
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        fed.append(int(tok[0]))
