@@ -32,6 +32,31 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+TPU_UNREACHABLE = False
+
+
+def _probe_devices_or_cpu(timeout_s: float = 180.0):
+    """jax.devices() on the tunneled TPU backend HANGS (not errors) when the
+    tunnel is down.  Probe it in a SUBPROCESS (an in-process hung probe
+    would wedge jax's backend-init lock); on timeout/failure pin this
+    process to CPU so the bench always emits its JSON line (flagged
+    tpu_unreachable)."""
+    import subprocess
+    import sys
+
+    global TPU_UNREACHABLE
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        return jax.devices()
+    except Exception:
+        TPU_UNREACHABLE = True
+        jax.config.update("jax_platforms", "cpu")
+        return jax.devices()
+
 BASELINE_PAGED_DECODE_US = 75.13  # tests/perf/benchmark.md:13 (NPU 910B, TTX)
 
 V5E_HBM_GBPS = 819.0  # TPU v5e HBM bandwidth
@@ -229,6 +254,7 @@ def bench_qwen3_int8_serving(rec: dict):
 
 
 def main():
+    devices = _probe_devices_or_cpu()
     us, impl = bench_paged_decode_gqa()
     rec = {
         "metric": "paged_decode_gqa_us",
@@ -238,8 +264,10 @@ def main():
         "impl": impl,
         "baseline_us": BASELINE_PAGED_DECODE_US,
         "baseline_hw": "Ascend NPU 910B (TTX Triton)",
-        "hw": str(jax.devices()[0]),
+        "hw": str(devices[0]),
     }
+    if TPU_UNREACHABLE:
+        rec["tpu_unreachable"] = True
     try:
         bench_qwen3_e2e(rec)
     except Exception as exc:  # never lose the headline metric
