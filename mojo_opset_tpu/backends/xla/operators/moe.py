@@ -40,20 +40,24 @@ class XlaExperts(MojoExperts):
 
 
 class XlaQuantExperts(MojoQuantExperts):
-    """Jittable w8a8 grouped SwiGLU: int8 ragged_dot on the MXU with
+    """Jittable w8a8 / w4a8 grouped SwiGLU: int8 ragged_dot on the MXU with
     per-token activation scales and per-expert/channel weight scales
     applied on the int32 accumulators (the golden is an eager per-expert
-    loop, reference moe.py:452-667). int4-packed weights and group-wise
-    weight scales keep the golden path."""
+    loop, reference moe.py:452-667). int4-packed weights are unpacked on
+    the fly (bitwise ops fuse into the weight load); group-wise weight
+    scales keep the golden path."""
 
     def forward(self, sorted_hidden_states: jax.Array, tokens_per_expert: jax.Array):
-        if (
-            self.up_weight_dtype == "int4"
-            or self.down_weight_dtype == "int4"
-            or self.up_quant_group_size > 0
-            or self.down_quant_group_size > 0
-        ):
+        if self.up_quant_group_size > 0 or self.down_quant_group_size > 0:
             return MojoQuantExperts.forward(self, sorted_hidden_states, tokens_per_expert)
+        from mojo_opset_tpu.core.operators.moe import unpack_int4
+
+        up_w = self.up_proj_weight
+        if self.up_weight_dtype == "int4":
+            up_w = jax.vmap(unpack_int4)(up_w)  # (E, 2I, H) int8
+        down_w = self.down_proj_weight
+        if self.down_weight_dtype == "int4":
+            down_w = jax.vmap(unpack_int4)(down_w)  # (E, H, I) int8
 
         M = sorted_hidden_states.shape[0]
         dtype = sorted_hidden_states.dtype
@@ -65,7 +69,7 @@ class XlaQuantExperts(MojoQuantExperts):
         gid = jnp.clip(gid, 0, self.num_experts - 1)
 
         x_int8, x_scale = self.up_proj_quantize(sorted_hidden_states, tokens_per_expert)
-        w_up = jnp.swapaxes(self.up_proj_weight, 1, 2)  # (E, H, 2I) int8
+        w_up = jnp.swapaxes(up_w, 1, 2)  # (E, H, 2I) int8
         fc1 = jax.lax.ragged_dot(
             x_int8, w_up, group_sizes=gs, preferred_element_type=jnp.int32
         ).astype(jnp.float32)
@@ -74,7 +78,7 @@ class XlaQuantExperts(MojoQuantExperts):
         act = (jax.nn.silu(gate) * up).astype(dtype)
 
         y_int8, y_scale = self.down_proj_quantize(act, tokens_per_expert)
-        w_down = jnp.swapaxes(self.down_proj_weight, 1, 2)  # (E, I, H) int8
+        w_down = jnp.swapaxes(down_w, 1, 2)  # (E, I, H) int8
         out = jax.lax.ragged_dot(
             y_int8, w_down, group_sizes=gs, preferred_element_type=jnp.int32
         ).astype(jnp.float32)

@@ -12,4 +12,4 @@ from mojo_opset_tpu.modeling.qwen3.modeling_qwen3_moe import (
     Qwen3MoeDecoderLayer,
     Qwen3MoeForCausalLM,
 )
-from mojo_opset_tpu.modeling.qwen3.quantize import quantize_qwen3
+from mojo_opset_tpu.modeling.qwen3.quantize import quantize_qwen3, quantize_qwen3_moe

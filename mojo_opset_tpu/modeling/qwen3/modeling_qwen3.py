@@ -97,7 +97,10 @@ class Qwen3Attention(Module):
         self.num_kv_heads = Hkv
         self.head_dim = D
         bias = c.attention_bias
-        self.quant = c.quant == "w8a8"
+        # w4a8 (MoE experts int4) still runs the attention projections w8a8 —
+        # int4 weights exist only for the grouped experts (reference
+        # moe.py:452-667); there is no int4 MojoQuantGemm contract.
+        self.quant = c.quant in ("w8a8", "w4a8")
         if self.quant:
             assert not bias, "w8a8 serving mode has no projection-bias support"
             mk = lambda k, n: MojoQuantGemm(k, n, output_dtype=c.dtype, trans_weight=True)

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from mojo_opset_tpu.core.module import Module
-from mojo_opset_tpu.core.operators import MojoMoE
+from mojo_opset_tpu.core.operators import MojoMoE, MojoQuantMoE
 from mojo_opset_tpu.modeling.qwen3.modeling_qwen3 import (
     Qwen3Attention,
     Qwen3Config,
@@ -23,6 +23,7 @@ from mojo_opset_tpu.modeling.qwen3.modeling_qwen3 import (
     Qwen3Model,
 )
 from mojo_opset_tpu.core.operators import (
+    MojoDynamicQuant,
     MojoEmbedding,
     MojoGemm,
     MojoGroupGemm,
@@ -30,7 +31,9 @@ from mojo_opset_tpu.core.operators import (
     MojoMoEDispatch,
     MojoMoEGating,
     MojoPrefillGQA,
+    MojoQuantGemm,
     MojoRMSNorm,
+    MojoRMSNormQuant,
     MojoRotaryEmbedding,
 )
 
@@ -120,17 +123,36 @@ class MojoQwen3MoeBlock(Module):
 class Qwen3MoeDecoderLayer(Module):
     def __init__(self, config: Qwen3MoeConfig, key):
         k1, k2 = jax.random.split(key)
-        self.input_layernorm = MojoRMSNorm(config.hidden_size, eps=config.rms_norm_eps)
+        quant = config.quant in ("w8a8", "w4a8")
+        # fused norm+quant feeds int8 straight into the attention
+        # projections (dense-model wiring); the MoE gate wants fp hidden,
+        # so the post-attention norm stays fp — MojoQuantMoE dynamic-quants
+        # its expert activations internally (reference moe.py:452-667)
+        norm_cls = MojoRMSNormQuant if quant else MojoRMSNorm
+        self.input_layernorm = norm_cls(config.hidden_size, eps=config.rms_norm_eps)
         self.self_attn = Qwen3Attention(config, k1)
         self.post_attention_layernorm = MojoRMSNorm(config.hidden_size, eps=config.rms_norm_eps)
-        self.mlp = MojoMoE(
-            num_experts=config.num_experts,
-            top_k=config.num_experts_per_tok,
-            hidden_size=config.hidden_size,
-            intermediate_size=config.moe_intermediate_size,
-            key=k2,
-            dtype=config.dtype,
-        )
+        if quant:
+            expert_wdtype = "int4" if config.quant == "w4a8" else jnp.int8
+            self.mlp = MojoQuantMoE(
+                num_experts=config.num_experts,
+                top_k=config.num_experts_per_tok,
+                hidden_size=config.hidden_size,
+                intermediate_size=config.moe_intermediate_size,
+                up_weight_dtype=expert_wdtype,
+                down_weight_dtype=expert_wdtype,
+                key=k2,
+                dtype=config.dtype,
+            )
+        else:
+            self.mlp = MojoMoE(
+                num_experts=config.num_experts,
+                top_k=config.num_experts_per_tok,
+                hidden_size=config.hidden_size,
+                intermediate_size=config.moe_intermediate_size,
+                key=k2,
+                dtype=config.dtype,
+            )
 
     def __call__(self, hidden, cos, sin, meta, caches, layer_idx):
         residual = hidden
@@ -157,11 +179,21 @@ class Qwen3MoeForCausalLM(Module):
         ]
         self.norm = MojoRMSNorm(config.hidden_size, eps=config.rms_norm_eps)
         self.rotary_emb = MojoRotaryEmbedding(config.rope_theta, config.head_dim)
-        self.lm_head = (
-            None
-            if config.tie_word_embeddings
-            else MojoGemm(config.hidden_size, config.vocab_size, bias=False, key=keys[-1], dtype=config.dtype)
+        quant = config.quant in ("w8a8", "w4a8")
+        self.lm_head_quant = (
+            MojoDynamicQuant() if quant and not config.tie_word_embeddings else None
         )
+        if config.tie_word_embeddings:
+            self.lm_head = None
+        elif quant:
+            self.lm_head = MojoQuantGemm(
+                config.hidden_size, config.vocab_size,
+                output_dtype=config.dtype, trans_weight=True,
+            )
+        else:
+            self.lm_head = MojoGemm(
+                config.hidden_size, config.vocab_size, bias=False, key=keys[-1], dtype=config.dtype
+            )
 
     @property
     def config(self):
@@ -177,7 +209,11 @@ class Qwen3MoeForCausalLM(Module):
         hidden = self.norm(hidden)
         if lm_head_indices is not None:
             hidden = hidden[lm_head_indices]
-        logits = (
-            hidden @ self.embed_tokens.weight.T if self.lm_head is None else self.lm_head(hidden)
-        )
+        if self.lm_head is None:
+            logits = hidden @ self.embed_tokens.weight.T
+        elif self.lm_head_quant is not None:
+            h_q, h_s = self.lm_head_quant(hidden)
+            logits = self.lm_head(h_q, h_s)
+        else:
+            logits = self.lm_head(hidden)
         return logits.astype(jnp.float32), caches
