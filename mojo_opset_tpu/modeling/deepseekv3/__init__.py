@@ -8,3 +8,4 @@ from mojo_opset_tpu.modeling.deepseekv3.modeling_deepseek_v3 import (
     DeepseekV3Model,
     MLARuntimeState,
 )
+from mojo_opset_tpu.modeling.deepseekv3.quantize import quantize_deepseek_v3

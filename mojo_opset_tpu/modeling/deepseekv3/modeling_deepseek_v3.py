@@ -26,10 +26,14 @@ import jax.numpy as jnp
 from mojo_opset_tpu.core.module import Module
 from mojo_opset_tpu.core.operators import (
     MojoApplyRoPE,
+    MojoDynamicQuant,
     MojoEmbedding,
     MojoGemm,
     MojoMoE,
+    MojoQuantGemm,
+    MojoQuantMoE,
     MojoRMSNorm,
+    MojoRMSNormQuant,
     MojoRotaryEmbedding,
     MojoSilu,
 )
@@ -64,6 +68,11 @@ class DeepseekV3Config:
 
     tie_word_embeddings: bool = False
     dtype: object = jnp.bfloat16
+    # "w8a8" = int8 serving: QuantGemm projections + QuantMoE routed
+    # experts (the MLA decompression weight kv_b_proj stays fp inside the
+    # op). Decode is weight-HBM-bound (the MLA latent cache is tiny), so
+    # halving weight bytes converts ~directly into tokens/sec.
+    quant: Optional[str] = None
 
     @property
     def qk_head_dim(self) -> int:
@@ -124,12 +133,28 @@ class DeepseekV3MLP(Module):
     def __init__(self, config: DeepseekV3Config, intermediate_size: Optional[int] = None, key=None):
         inter = intermediate_size or config.intermediate_size
         ks = jax.random.split(key if key is not None else jax.random.PRNGKey(0), 3)
-        self.gate_proj = MojoGemm(config.hidden_size, inter, bias=False, key=ks[0], dtype=config.dtype)
-        self.up_proj = MojoGemm(config.hidden_size, inter, bias=False, key=ks[1], dtype=config.dtype)
-        self.down_proj = MojoGemm(inter, config.hidden_size, bias=False, key=ks[2], dtype=config.dtype)
+        self.quant = config.quant == "w8a8"
+        if self.quant:
+            mk = lambda k, n: MojoQuantGemm(k, n, output_dtype=config.dtype, trans_weight=True)
+            self.gate_proj = mk(config.hidden_size, inter)
+            self.up_proj = mk(config.hidden_size, inter)
+            self.down_proj = mk(inter, config.hidden_size)
+            # fp entry quant: this MLP's input is a shared fp norm output
+            # (the MoE layers feed the same hidden to the fp gating)
+            self.in_quant = MojoDynamicQuant()
+            self.act_quant = MojoDynamicQuant()
+        else:
+            self.gate_proj = MojoGemm(config.hidden_size, inter, bias=False, key=ks[0], dtype=config.dtype)
+            self.up_proj = MojoGemm(config.hidden_size, inter, bias=False, key=ks[1], dtype=config.dtype)
+            self.down_proj = MojoGemm(inter, config.hidden_size, bias=False, key=ks[2], dtype=config.dtype)
         self.act = MojoSilu()
 
     def __call__(self, x):
+        if self.quant:
+            x_q, x_s = self.in_quant(x)
+            h = self.act(self.gate_proj(x_q, x_s)) * self.up_proj(x_q, x_s)
+            h_q, h_s = self.act_quant(h)
+            return self.down_proj(h_q, h_s)
         return self.down_proj(self.act(self.gate_proj(x)) * self.up_proj(x))
 
 
@@ -138,13 +163,16 @@ class DeepseekV3MoE(Module):
 
     def __init__(self, config: DeepseekV3Config, key=None):
         k1, k2 = jax.random.split(key if key is not None else jax.random.PRNGKey(0))
-        self.routed_experts = MojoMoE(
+        moe_kw = dict(
             num_experts=config.n_routed_experts,
             top_k=config.num_experts_per_tok,
             hidden_size=config.hidden_size,
             intermediate_size=config.moe_intermediate_size,
             key=k1,
             dtype=config.dtype,
+        )
+        self.routed_experts = (
+            MojoQuantMoE(**moe_kw) if config.quant == "w8a8" else MojoMoE(**moe_kw)
         )
         self.shared_experts = DeepseekV3MLP(
             config, intermediate_size=config.moe_intermediate_size * config.n_shared_experts, key=k2
@@ -168,25 +196,42 @@ class DeepseekV3Attention(Module):
         self.qk_nope_head_dim = c.qk_nope_head_dim
         self.qk_head_dim = c.qk_head_dim
 
+        self.quant = c.quant == "w8a8"
+        if self.quant:
+            mk = lambda k, n: MojoQuantGemm(k, n, output_dtype=c.dtype, trans_weight=True)
         if c.q_lora_rank is None:
-            self.q_proj = MojoGemm(c.hidden_size, self.num_heads * self.qk_head_dim, bias=False,
-                                   key=ks[0], dtype=c.dtype)
+            if self.quant:
+                self.q_proj = mk(c.hidden_size, self.num_heads * self.qk_head_dim)
+            else:
+                self.q_proj = MojoGemm(c.hidden_size, self.num_heads * self.qk_head_dim, bias=False,
+                                       key=ks[0], dtype=c.dtype)
             self.q_a_proj = None
             self.q_a_layernorm = None
             self.q_b_proj = None
         else:
             self.q_proj = None
-            self.q_a_proj = MojoGemm(c.hidden_size, c.q_lora_rank, bias=False, key=ks[0], dtype=c.dtype)
-            self.q_a_layernorm = MojoRMSNorm(c.q_lora_rank, eps=c.rms_norm_eps)
-            self.q_b_proj = MojoGemm(c.q_lora_rank, self.num_heads * self.qk_head_dim, bias=False,
-                                     key=ks[1], dtype=c.dtype)
+            if self.quant:
+                self.q_a_proj = mk(c.hidden_size, c.q_lora_rank)
+                # fused norm+quant between the two q LoRA stages
+                self.q_a_layernorm = MojoRMSNormQuant(c.q_lora_rank, eps=c.rms_norm_eps)
+                self.q_b_proj = mk(c.q_lora_rank, self.num_heads * self.qk_head_dim)
+            else:
+                self.q_a_proj = MojoGemm(c.hidden_size, c.q_lora_rank, bias=False, key=ks[0], dtype=c.dtype)
+                self.q_a_layernorm = MojoRMSNorm(c.q_lora_rank, eps=c.rms_norm_eps)
+                self.q_b_proj = MojoGemm(c.q_lora_rank, self.num_heads * self.qk_head_dim, bias=False,
+                                         key=ks[1], dtype=c.dtype)
 
-        self.kv_a_proj_with_mqa = MojoGemm(
-            c.hidden_size, c.kv_lora_rank + c.qk_rope_head_dim, bias=False, key=ks[2], dtype=c.dtype
-        )
+        if self.quant:
+            self.kv_a_proj_with_mqa = mk(c.hidden_size, c.kv_lora_rank + c.qk_rope_head_dim)
+            self.o_proj = mk(self.num_heads * c.v_head_dim, c.hidden_size)
+            self.attn_quant = MojoDynamicQuant()
+        else:
+            self.kv_a_proj_with_mqa = MojoGemm(
+                c.hidden_size, c.kv_lora_rank + c.qk_rope_head_dim, bias=False, key=ks[2], dtype=c.dtype
+            )
+            self.o_proj = MojoGemm(self.num_heads * c.v_head_dim, c.hidden_size, bias=False,
+                                   key=ks[3], dtype=c.dtype)
         self.kv_a_layernorm = MojoRMSNorm(c.kv_lora_rank, eps=c.rms_norm_eps)
-        self.o_proj = MojoGemm(self.num_heads * c.v_head_dim, c.hidden_size, bias=False,
-                               key=ks[3], dtype=c.dtype)
 
         self.rope = MojoApplyRoPE()
         self.store_kv = MojoStorePagedMLAKVCache()
@@ -203,16 +248,26 @@ class DeepseekV3Attention(Module):
         self.scaling = self.qk_head_dim ** (-0.5)
 
     def __call__(self, hidden, cos, sin, meta: AttentionMetadata, caches: KVCaches, layer_idx: int):
-        T = hidden.shape[0]
-
-        if self.q_lora_rank is None:
-            q = self.q_proj(hidden)
+        if self.quant:
+            # hidden arrives pre-quantized by the decoder layer's
+            # RMSNormQuant; both LoRA-a projections consume the same (q, s)
+            x_q, x_s = hidden
+            T = x_q.shape[0]
+            if self.q_lora_rank is None:
+                q = self.q_proj(x_q, x_s)
+            else:
+                qa_q, qa_s = self.q_a_layernorm(self.q_a_proj(x_q, x_s))
+                q = self.q_b_proj(qa_q, qa_s)
+            ckv_full = self.kv_a_proj_with_mqa(x_q, x_s)
         else:
-            q = self.q_b_proj(self.q_a_layernorm(self.q_a_proj(hidden)))
+            T = hidden.shape[0]
+            if self.q_lora_rank is None:
+                q = self.q_proj(hidden)
+            else:
+                q = self.q_b_proj(self.q_a_layernorm(self.q_a_proj(hidden)))
+            ckv_full = self.kv_a_proj_with_mqa(hidden)
         q = q.reshape(T, self.num_heads, self.qk_head_dim)
         q_nope, q_rot = q[..., : self.qk_nope_head_dim], q[..., self.qk_nope_head_dim :]
-
-        ckv_full = self.kv_a_proj_with_mqa(hidden)
         c_kv, k_rot = (
             ckv_full[..., : self.kv_lora_rank],
             ckv_full[..., self.kv_lora_rank :],
@@ -245,14 +300,23 @@ class DeepseekV3Attention(Module):
                 query, ckv_cache, kpe_cache, meta.total_seq_lens, meta.block_tables,
                 self.scaling,
             )
-        out = self.o_proj(attn.reshape(T, self.num_heads * self.v_head_dim))
+        attn = attn.reshape(T, self.num_heads * self.v_head_dim)
+        if self.quant:
+            a_q, a_s = self.attn_quant(attn)
+            out = self.o_proj(a_q, a_s)
+        else:
+            out = self.o_proj(attn)
         return out, caches
 
 
 class DeepseekV3DecoderLayer(Module):
     def __init__(self, config: DeepseekV3Config, layer_idx: int, key=None):
         k1, k2 = jax.random.split(key if key is not None else jax.random.PRNGKey(layer_idx))
-        self.input_layernorm = MojoRMSNorm(config.hidden_size, eps=config.rms_norm_eps)
+        # fused norm+quant feeds int8 into the attention projections; the
+        # post-attention norm stays fp (it feeds the fp MoE gate — the
+        # quant MLP / QuantMoE dynamic-quant their inputs internally)
+        norm_cls = MojoRMSNormQuant if config.quant == "w8a8" else MojoRMSNorm
+        self.input_layernorm = norm_cls(config.hidden_size, eps=config.rms_norm_eps)
         self.self_attn = DeepseekV3Attention(config, key=k1)
         self.post_attention_layernorm = MojoRMSNorm(config.hidden_size, eps=config.rms_norm_eps)
         if layer_idx >= config.first_k_dense_replace:
@@ -302,11 +366,21 @@ class DeepseekV3ForCausalLM(Module):
         k1, k2 = jax.random.split(key)
         self._config = config
         self.model = DeepseekV3Model(config, k1)
-        self.lm_head = (
-            None
-            if config.tie_word_embeddings
-            else MojoGemm(config.hidden_size, config.vocab_size, bias=False, key=k2, dtype=config.dtype)
+        quant = config.quant == "w8a8"
+        self.lm_head_quant = (
+            MojoDynamicQuant() if quant and not config.tie_word_embeddings else None
         )
+        if config.tie_word_embeddings:
+            self.lm_head = None
+        elif quant:
+            self.lm_head = MojoQuantGemm(
+                config.hidden_size, config.vocab_size,
+                output_dtype=config.dtype, trans_weight=True,
+            )
+        else:
+            self.lm_head = MojoGemm(
+                config.hidden_size, config.vocab_size, bias=False, key=k2, dtype=config.dtype
+            )
 
     @property
     def config(self) -> MojoConfig:
@@ -316,9 +390,11 @@ class DeepseekV3ForCausalLM(Module):
         hidden, caches = self.model(input_ids, positions, meta, caches)
         if lm_head_indices is not None:
             hidden = hidden[lm_head_indices]
-        logits = (
-            hidden @ self.model.embed_tokens.weight.T
-            if self.lm_head is None
-            else self.lm_head(hidden)
-        )
+        if self.lm_head is None:
+            logits = hidden @ self.model.embed_tokens.weight.T
+        elif self.lm_head_quant is not None:
+            h_q, h_s = self.lm_head_quant(hidden)
+            logits = self.lm_head(h_q, h_s)
+        else:
+            logits = self.lm_head(hidden)
         return logits.astype(jnp.float32), caches
