@@ -17,11 +17,14 @@ import jax.numpy as jnp
 from mojo_opset_tpu.core.module import Module
 from mojo_opset_tpu.core.operators import (
     MojoApplyRoPE,
+    MojoDynamicQuant,
     MojoEmbedding,
     MojoGemm,
     MojoPagedDecodeGQA,
     MojoPagedPrefillGQA,
+    MojoQuantGemm,
     MojoRMSNorm,
+    MojoRMSNormQuant,
     MojoRotaryEmbedding,
     MojoSilu,
     MojoStorePagedKVCache,
@@ -48,6 +51,10 @@ class SeedOssConfig:
     tie_word_embeddings: bool = False
     dtype: object = jnp.bfloat16
     kv_layout: str = "NHD"  # TPU-native paged-cache layout (in-place stores)
+    # "w8a8" int8 serving: RMSNormQuant -> QuantGemm chain; the qkv biases
+    # (QuantGemm is bias-free by contract, reference gemm.py:127-231) are
+    # held fp at the model level and added after the int8 GEMM.
+    quant: Optional[str] = None
 
     def to_mojo(self) -> MojoConfig:
         return MojoConfig(
@@ -79,10 +86,24 @@ class SeedOssAttention(Module):
         self.num_heads = H
         self.num_kv_heads = Hkv
         self.head_dim = D
-        self.q_proj = MojoGemm(c.hidden_size, H * D, bias=c.attention_bias, key=ks[0], dtype=c.dtype)
-        self.k_proj = MojoGemm(c.hidden_size, Hkv * D, bias=c.attention_bias, key=ks[1], dtype=c.dtype)
-        self.v_proj = MojoGemm(c.hidden_size, Hkv * D, bias=c.attention_bias, key=ks[2], dtype=c.dtype)
-        self.o_proj = MojoGemm(H * D, c.hidden_size, bias=c.attention_out_bias, key=ks[3], dtype=c.dtype)
+        self.quant = c.quant == "w8a8"
+        if self.quant:
+            mk = lambda k, n: MojoQuantGemm(k, n, output_dtype=c.dtype, trans_weight=True)
+            self.q_proj = mk(c.hidden_size, H * D)
+            self.k_proj = mk(c.hidden_size, Hkv * D)
+            self.v_proj = mk(c.hidden_size, Hkv * D)
+            self.o_proj = mk(H * D, c.hidden_size)
+            zb = lambda n, flag: jnp.zeros((n,), c.dtype) if flag else None
+            self.q_bias = zb(H * D, c.attention_bias)
+            self.k_bias = zb(Hkv * D, c.attention_bias)
+            self.v_bias = zb(Hkv * D, c.attention_bias)
+            self.o_bias = zb(c.hidden_size, c.attention_out_bias)
+            self.attn_quant = MojoDynamicQuant()
+        else:
+            self.q_proj = MojoGemm(c.hidden_size, H * D, bias=c.attention_bias, key=ks[0], dtype=c.dtype)
+            self.k_proj = MojoGemm(c.hidden_size, Hkv * D, bias=c.attention_bias, key=ks[1], dtype=c.dtype)
+            self.v_proj = MojoGemm(c.hidden_size, Hkv * D, bias=c.attention_bias, key=ks[2], dtype=c.dtype)
+            self.o_proj = MojoGemm(H * D, c.hidden_size, bias=c.attention_out_bias, key=ks[3], dtype=c.dtype)
         self.rope = MojoApplyRoPE()
         self.store_kv = MojoStorePagedKVCache(kv_layout=c.kv_layout)
         self.attn_prefill = MojoPagedPrefillGQA(gqa_layout="AABB", kv_layout=c.kv_layout)
@@ -90,10 +111,20 @@ class SeedOssAttention(Module):
         self.scaling = D**-0.5
 
     def __call__(self, hidden, cos, sin, meta, caches, layer_idx):
-        T = hidden.shape[0]
-        q = self.q_proj(hidden).reshape(T, self.num_heads, self.head_dim)
-        k = self.k_proj(hidden).reshape(T, self.num_kv_heads, self.head_dim)
-        v = self.v_proj(hidden).reshape(T, self.num_kv_heads, self.head_dim)
+        if self.quant:
+            x_q, x_s = hidden  # quantized by the decoder layer's RMSNormQuant
+            T = x_q.shape[0]
+            q, k, v = self.q_proj(x_q, x_s), self.k_proj(x_q, x_s), self.v_proj(x_q, x_s)
+            if self.q_bias is not None:
+                q, k, v = q + self.q_bias, k + self.k_bias, v + self.v_bias
+            q = q.reshape(T, self.num_heads, self.head_dim)
+            k = k.reshape(T, self.num_kv_heads, self.head_dim)
+            v = v.reshape(T, self.num_kv_heads, self.head_dim)
+        else:
+            T = hidden.shape[0]
+            q = self.q_proj(hidden).reshape(T, self.num_heads, self.head_dim)
+            k = self.k_proj(hidden).reshape(T, self.num_kv_heads, self.head_dim)
+            v = self.v_proj(hidden).reshape(T, self.num_kv_heads, self.head_dim)
         q, k = self.rope(q, k, cos, sin, head_first=False)
 
         kc, vc = caches.key(layer_idx), caches.value(layer_idx)
@@ -111,28 +142,53 @@ class SeedOssAttention(Module):
                                      self.scaling, cu_total)
         else:
             attn = self.attn_decode(q, kc, vc, meta.total_seq_lens, meta.block_tables, self.scaling)
-        return self.o_proj(attn.reshape(T, self.num_heads * self.head_dim)), caches
+        attn = attn.reshape(T, self.num_heads * self.head_dim)
+        if self.quant:
+            a_q, a_s = self.attn_quant(attn)
+            out = self.o_proj(a_q, a_s)
+            if self.o_bias is not None:
+                out = out + self.o_bias
+        else:
+            out = self.o_proj(attn)
+        return out, caches
 
 
 class SeedOssMLP(Module):
     def __init__(self, config: SeedOssConfig, key):
         ks = jax.random.split(key, 3)
         c = config
-        self.gate_proj = MojoGemm(c.hidden_size, c.intermediate_size, bias=c.mlp_bias, key=ks[0], dtype=c.dtype)
-        self.up_proj = MojoGemm(c.hidden_size, c.intermediate_size, bias=c.mlp_bias, key=ks[1], dtype=c.dtype)
-        self.down_proj = MojoGemm(c.intermediate_size, c.hidden_size, bias=c.mlp_bias, key=ks[2], dtype=c.dtype)
+        self.quant = c.quant == "w8a8"
+        if self.quant:
+            assert not c.mlp_bias, "w8a8 serving mode has no MLP-bias support"
+            mk = lambda k, n: MojoQuantGemm(k, n, output_dtype=c.dtype, trans_weight=True)
+            self.gate_proj = mk(c.hidden_size, c.intermediate_size)
+            self.up_proj = mk(c.hidden_size, c.intermediate_size)
+            self.down_proj = mk(c.intermediate_size, c.hidden_size)
+            self.act_quant = MojoDynamicQuant()
+        else:
+            self.gate_proj = MojoGemm(c.hidden_size, c.intermediate_size, bias=c.mlp_bias, key=ks[0], dtype=c.dtype)
+            self.up_proj = MojoGemm(c.hidden_size, c.intermediate_size, bias=c.mlp_bias, key=ks[1], dtype=c.dtype)
+            self.down_proj = MojoGemm(c.intermediate_size, c.hidden_size, bias=c.mlp_bias, key=ks[2], dtype=c.dtype)
         self.act = MojoSilu()
 
     def __call__(self, x):
+        if self.quant:
+            x_q, x_s = x  # quantized by the decoder layer's RMSNormQuant
+            h = self.act(self.gate_proj(x_q, x_s)) * self.up_proj(x_q, x_s)
+            h_q, h_s = self.act_quant(h)
+            return self.down_proj(h_q, h_s)
         return self.down_proj(self.act(self.gate_proj(x)) * self.up_proj(x))
 
 
 class SeedOssDecoderLayer(Module):
     def __init__(self, config: SeedOssConfig, key):
         k1, k2 = jax.random.split(key)
-        self.input_layernorm = MojoRMSNorm(config.hidden_size, eps=config.rms_norm_eps)
+        norm_cls = (
+            MojoRMSNormQuant if config.quant == "w8a8" else MojoRMSNorm
+        )  # fused norm+quant feeds int8 straight into the projections
+        self.input_layernorm = norm_cls(config.hidden_size, eps=config.rms_norm_eps)
         self.self_attn = SeedOssAttention(config, k1)
-        self.post_attention_layernorm = MojoRMSNorm(config.hidden_size, eps=config.rms_norm_eps)
+        self.post_attention_layernorm = norm_cls(config.hidden_size, eps=config.rms_norm_eps)
         self.mlp = SeedOssMLP(config, k2)
 
     def __call__(self, hidden, cos, sin, meta, caches, layer_idx):
@@ -155,10 +211,21 @@ class SeedOssForCausalLM(Module):
         self.layers = [SeedOssDecoderLayer(config, keys[i + 1]) for i in range(config.num_hidden_layers)]
         self.norm = MojoRMSNorm(config.hidden_size, eps=config.rms_norm_eps)
         self.rotary_emb = MojoRotaryEmbedding(config.rope_theta, config.head_dim)
-        self.lm_head = (
-            None if config.tie_word_embeddings
-            else MojoGemm(config.hidden_size, config.vocab_size, bias=False, key=keys[-1], dtype=config.dtype)
+        quant = config.quant == "w8a8"
+        self.lm_head_quant = (
+            MojoDynamicQuant() if quant and not config.tie_word_embeddings else None
         )
+        if config.tie_word_embeddings:
+            self.lm_head = None
+        elif quant:
+            self.lm_head = MojoQuantGemm(
+                config.hidden_size, config.vocab_size,
+                output_dtype=config.dtype, trans_weight=True,
+            )
+        else:
+            self.lm_head = MojoGemm(
+                config.hidden_size, config.vocab_size, bias=False, key=keys[-1], dtype=config.dtype
+            )
 
     @property
     def config(self) -> MojoConfig:
@@ -174,7 +241,11 @@ class SeedOssForCausalLM(Module):
         hidden = self.norm(hidden)
         if lm_head_indices is not None:
             hidden = hidden[lm_head_indices]
-        logits = (
-            hidden @ self.embed_tokens.weight.T if self.lm_head is None else self.lm_head(hidden)
-        )
+        if self.lm_head is None:
+            logits = hidden @ self.embed_tokens.weight.T
+        elif self.lm_head_quant is not None:
+            h_q, h_s = self.lm_head_quant(hidden)
+            logits = self.lm_head(h_q, h_s)
+        else:
+            logits = self.lm_head(hidden)
         return logits.astype(jnp.float32), caches
