@@ -31,3 +31,4 @@ from mojo_opset_tpu.runtime.parallel import (
     dp_scatter,
     merge_group_and_share_ffn,
 )
+from mojo_opset_tpu.runtime.speculative import SpeculativeDecoder

@@ -29,14 +29,18 @@ class CompiledStepPool:
     unchanged one replays the cached executable.
     """
 
-    def __init__(self, step_fn: Callable, donate_argnums=(0,)):
+    def __init__(self, step_fn: Callable, donate_argnums=(0,), static_argnums=()):
         self._step_fn = step_fn
         self._donate = donate_argnums
+        self._static = tuple(static_argnums)
         self._pool: Dict[Hashable, Callable] = {}
 
     def signature(self, *args) -> Hashable:
         sig = []
-        for a in args:
+        for i, a in enumerate(args):
+            if i in self._static:
+                sig.append(("static", a))
+                continue
             leaves, treedef = jax.tree_util.tree_flatten(a)
             sig.append((
                 str(treedef),  # session/pytree structure is part of the key
@@ -48,7 +52,9 @@ class CompiledStepPool:
         key = self.signature(*args)
         if key not in self._pool:
             logger.debug("CompiledStepPool: compiling new executable for signature %s", key)
-            self._pool[key] = jax.jit(self._step_fn, donate_argnums=self._donate)
+            self._pool[key] = jax.jit(
+                self._step_fn, donate_argnums=self._donate, static_argnums=self._static
+            )
         return self._pool[key]
 
     def warmup(self, *args, **kwargs):

@@ -1,0 +1,206 @@
+"""Speculative decoding over the paged-KV runtime.
+
+E2e draft-and-verify loop composing ops the reference ships piecemeal
+(``MojoRejectSampling`` reference sampling.py:209-253, N-step decode
+semantics, MTP flags in MojoRunTimeConfig) but never wires into its
+generator. TPU-native design: the draft rounds and the verify step are
+each one donated-buffer XLA executable (CompiledStepPool), and all
+accept/rollback bookkeeping stays on the host where the block allocator
+already lives — rolling back speculated tokens is just rewinding the
+per-sequence length (the paged store overwrites the dead slots on the
+next round).
+
+Modes:
+  * ``greedy`` — draft greedy, target greedy, accept the longest matching
+    prefix. LOSSLESS: the emitted stream is bit-identical to vanilla
+    greedy decoding of the target model (tested).
+  * ``reject`` — stochastic acceptance via ``MojoRejectSampling``
+    (target_p/draft_p >= u), correction token sampled from the target
+    distribution at the first rejected position.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mojo_opset_tpu.core.operators import MojoRejectSampling
+from mojo_opset_tpu.runtime.compile_cache import CompiledStepPool
+from mojo_opset_tpu.runtime.session import PagedAttentionRuntimeState
+
+
+class SpeculativeDecoder:
+    """Draft-model speculative decoding; both models share tokenizer and
+    vocab. ``k`` draft tokens are proposed per round and verified by ONE
+    chunked-prefill forward of the target (q_len = k+1 per sequence)."""
+
+    def __init__(self, target_model, draft_model, k: int = 4,
+                 mode: str = "greedy", block_size: int = 128):
+        assert mode in ("greedy", "reject")
+        self.target = target_model
+        self.draft = draft_model
+        self.k = int(k)
+        self.mode = mode
+        self.block_size = block_size
+        self.reject_op = MojoRejectSampling()
+
+        def _verify(model, ids, positions, meta, caches):
+            # all-position logits: no lm_head_indices
+            return model(ids, positions, meta, caches, lm_head_indices=None)
+
+        self._verify_pool = CompiledStepPool(_verify, donate_argnums=(4,))
+
+        def _draft_round(model, first_tokens, caches, lens0, block_tables, k):
+            """k+1 greedy draft steps inside one executable; returns k
+            proposed tokens (k, B) and their draft probs. The extra step
+            stores d_k in the draft cache so an all-accepted round leaves
+            the draft ready at context+k+1 (its proposal is discarded)."""
+            def step(carry, i):
+                tokens, caches = carry
+                from mojo_opset_tpu.runtime.session import AttentionMetadata
+
+                meta = AttentionMetadata(
+                    q_lens=jnp.ones_like(lens0),
+                    cu_q_lens=None,
+                    total_seq_lens=lens0 + i + 1,
+                    context_kv_lens=lens0 + i,
+                    block_tables=block_tables,
+                    is_prefill=False,
+                )
+                logits, caches = model(tokens, lens0 + i, meta, caches, lm_head_indices=None)
+                probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                p = jnp.take_along_axis(probs, nxt[:, None], axis=-1)[:, 0]
+                return (nxt, caches), (nxt, p)
+
+            (last, caches), (toks, ps) = jax.lax.scan(
+                step, (first_tokens, caches), jnp.arange(k + 1, dtype=jnp.int32)
+            )
+            return toks[:-1], ps[:-1], caches
+
+        self._draft_pool = CompiledStepPool(_draft_round, donate_argnums=(2,),
+                                            static_argnums=(5,))
+
+    # -- session plumbing --------------------------------------------------
+    def new_sessions(self, batch_size: int):
+        t = PagedAttentionRuntimeState.from_model(
+            self.target, batch_size, block_size=self.block_size)
+        d = PagedAttentionRuntimeState.from_model(
+            self.draft, batch_size, block_size=self.block_size)
+        return t, d
+
+    def prefill(self, sessions, input_ids, q_lens):
+        """Prefill BOTH models on the prompt; returns the first target
+        token (greedy) per sequence."""
+        tsess, dsess = sessions
+        ids, pos, meta = tsess.prepare_prefill_inputs(input_ids, q_lens)
+        lm_idx = meta.cu_q_lens[1:] - 1
+        logits, tsess.caches = self.target(
+            ids, pos, meta, tsess.caches, lm_head_indices=lm_idx)
+        ids_d, pos_d, meta_d = dsess.prepare_prefill_inputs(input_ids, q_lens)
+        _, dsess.caches = self.draft(
+            ids_d, pos_d, meta_d, dsess.caches, lm_head_indices=meta_d.cu_q_lens[1:] - 1)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    def _rollback(self, session, new_lens: np.ndarray) -> None:
+        """Rewind per-sequence lengths after rejecting speculated tokens.
+        Blocks stay allocated; the paged store overwrites the dead slots
+        at the rewound offsets on the next round. In-place int32 write:
+        the native allocator reads this exact buffer through a ctypes
+        int32 view (runtime/native/__init__.py:121-132)."""
+        session.total_seq_lens[:] = new_lens.astype(np.int32)
+
+    # -- one speculative round ---------------------------------------------
+    def round(self, sessions, cur_tokens, key: Optional[jax.Array] = None):
+        """Advance every sequence by 1..k+1 tokens.
+
+        Returns ``(emitted (B, k+1) int32, counts (B,) how many of the
+        k+1 slots are real, next_cur_tokens (B,))``. ``cur_tokens`` is the
+        last emitted token per sequence (not yet in either KV cache).
+        """
+        tsess, dsess = sessions
+        B = dsess.batch_size
+        k = self.k
+
+        # ---- draft k greedy tokens in one fused executable ----
+        lens0 = dsess.total_seq_lens.copy()
+        dsess._reserve(np.full(B, k + 1, np.int32))
+        bt = jnp.asarray(dsess.block_tables, jnp.int32)
+        l0 = jnp.asarray(lens0, jnp.int32)
+        runner = self._draft_pool.get_runner(
+            self.draft, cur_tokens, dsess.caches, l0, bt, k)
+        d_toks, d_ps, dsess.caches = runner(
+            self.draft, cur_tokens, dsess.caches, l0, bt, k)
+        d_toks = jnp.swapaxes(d_toks, 0, 1)  # (B, k)
+        d_ps = jnp.swapaxes(d_ps, 0, 1)
+
+        # ---- ONE target verify forward over [cur, d_1..d_k] ----
+        d_np = np.asarray(d_toks)
+        cur_np = np.asarray(cur_tokens).reshape(B, 1)
+        window = np.concatenate([cur_np, d_np], axis=1)  # (B, k+1)
+        ids, pos, meta = tsess.prepare_prefill_inputs(
+            window.reshape(-1), np.full(B, k + 1, np.int32))
+        vrunner = self._verify_pool.get_runner(self.target, ids, pos, meta, tsess.caches)
+        logits, tsess.caches = vrunner(self.target, ids, pos, meta, tsess.caches)
+        logits = logits.reshape(B, k + 1, -1)  # (B, k+1, V)
+
+        if self.mode == "greedy":
+            t_argmax = np.asarray(jnp.argmax(logits, axis=-1), np.int32)  # (B, k+1)
+            # accepted = longest prefix where draft token == target argmax
+            match = (d_np == t_argmax[:, :k])
+            m = np.where(match.all(1), k, match.argmin(1)).astype(np.int64)  # (B,)
+            next_cur = t_argmax[np.arange(B), m]  # correction or bonus
+        else:
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            _, accepted = self.reject_op(probs, d_toks, d_ps, key=key)
+            m = np.asarray(accepted, np.int64)
+            # correction/bonus: sample target distribution at position m
+            sub = jax.random.split(key, 2)[1] if key is not None else jax.random.PRNGKey(0)
+            pick = jax.random.categorical(
+                sub, jnp.log(jnp.clip(probs, 1e-20, None)), axis=-1)  # (B, k+1)
+            next_cur = np.asarray(pick, np.int32)[np.arange(B), m]
+
+        # emitted this round: the m accepted draft tokens + the correction
+        emitted = np.concatenate([d_np, next_cur[:, None].astype(np.int32)], axis=1)
+        for b in range(B):
+            emitted[b, int(m[b])] = next_cur[b]
+        counts = m + 1  # m drafts + 1 correction/bonus token
+
+        # ---- rollback: both caches keep exactly context+1+m valid rows ----
+        new_lens = lens0 + 1 + m
+        self._rollback(tsess, new_lens)
+        self._rollback(dsess, new_lens)
+        return emitted, counts.astype(np.int64), jnp.asarray(next_cur, jnp.int32)
+
+    # -- full generate loop --------------------------------------------------
+    def generate(self, input_ids, q_lens, max_new_tokens: int,
+                 key: Optional[jax.Array] = None):
+        """Greedy/speculative generate; returns (B, max_new_tokens) ids."""
+        q_lens = np.asarray(q_lens, np.int32)
+        B = q_lens.size
+        sessions = self.new_sessions(B)
+        cur = self.prefill(sessions, input_ids, q_lens)
+
+        out = np.zeros((B, max_new_tokens), np.int32)
+        filled = np.zeros(B, np.int64)
+        # first token comes straight from the prefill
+        out[:, 0] = np.asarray(cur)
+        filled[:] = 1
+        rounds = 0
+        while (filled < max_new_tokens).any():
+            if key is not None:
+                key, sub = jax.random.split(key)
+            else:
+                sub = None
+            emitted, counts, cur = self.round(sessions, cur, key=sub)
+            for b in range(B):
+                take = int(min(counts[b], max_new_tokens - filled[b]))
+                out[b, filled[b]:filled[b] + take] = emitted[b, :take]
+                filled[b] += take
+            rounds += 1
+        self.last_rounds = rounds
+        return out

@@ -1,0 +1,86 @@
+"""Speculative decoding e2e: greedy draft-and-verify must be LOSSLESS
+(bit-identical to vanilla greedy decoding of the target model), the
+stochastic mode must run and respect the RejectSampling contract."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mojo_opset_tpu.modeling.qwen3 import Qwen3Config, Qwen3ForCausalLM
+from mojo_opset_tpu.runtime import PagedAttentionGenerationModel
+from mojo_opset_tpu.runtime.speculative import SpeculativeDecoder
+
+
+def _cfg(layers, hidden, key_seed):
+    return Qwen3Config(
+        hidden_size=hidden, intermediate_size=hidden * 2, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=layers, head_dim=hidden // 4,
+        vocab_size=256, max_position_embeddings=512, dtype=jnp.float32,
+    )
+
+
+@pytest.fixture(scope="module")
+def models():
+    target = Qwen3ForCausalLM(_cfg(3, 64, 0), key=jax.random.PRNGKey(0))
+    # draft = target truncated to its first layer: a cheap approximation
+    # that agrees often enough to exercise both accept and reject paths
+    draft = Qwen3ForCausalLM(_cfg(1, 64, 0), key=jax.random.PRNGKey(0))
+    draft.model.embed_tokens = target.model.embed_tokens
+    draft.model.layers[0] = target.model.layers[0]
+    draft.model.norm = target.model.norm
+    draft.lm_head = target.lm_head
+    return target, draft
+
+
+def _vanilla_greedy(target, ids, lens, steps):
+    gm = PagedAttentionGenerationModel(target, block_size=16)
+    logits, session = gm(ids, context_input_len=lens)
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    out = [np.asarray(tok)]
+    for _ in range(steps - 1):
+        logits, session = gm(np.asarray(tok, np.int32), session=session)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        out.append(np.asarray(tok))
+    return np.stack(out, axis=1)  # (B, steps)
+
+
+def test_greedy_speculative_is_lossless(models):
+    target, draft = models
+    ids = np.array([5, 9, 2, 88, 41, 6, 100, 64, 31, 7], np.int32)
+    lens = np.array([6, 4], np.int32)
+    steps = 12
+
+    want = _vanilla_greedy(target, ids, lens, steps)
+    spec = SpeculativeDecoder(target, draft, k=3, mode="greedy", block_size=16)
+    got = spec.generate(ids, lens, max_new_tokens=steps)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_greedy_speculative_self_draft_accepts_everything(models):
+    """Draft == target: every proposal must be accepted (k+1 tokens per
+    round after the first), still lossless."""
+    target, _ = models
+    ids = np.array([3, 17, 42, 5, 99], np.int32)
+    lens = np.array([5], np.int32)
+    steps = 9
+
+    want = _vanilla_greedy(target, ids, lens, steps)
+    spec = SpeculativeDecoder(target, target, k=3, mode="greedy", block_size=16)
+    got = spec.generate(ids, lens, max_new_tokens=steps)
+    np.testing.assert_array_equal(got, want)
+    # 1 prefill token + 2 full rounds of k+1=4 -> 3 rounds max
+    assert spec.last_rounds <= 3, f"self-draft did not accept: {spec.last_rounds} rounds"
+
+
+def test_reject_mode_runs_and_is_deterministic(models):
+    target, draft = models
+    ids = np.array([5, 9, 2, 88], np.int32)
+    lens = np.array([4], np.int32)
+    spec = SpeculativeDecoder(target, draft, k=3, mode="reject", block_size=16)
+    a = spec.generate(ids, lens, max_new_tokens=8, key=jax.random.PRNGKey(7))
+    spec2 = SpeculativeDecoder(target, draft, k=3, mode="reject", block_size=16)
+    b = spec2.generate(ids, lens, max_new_tokens=8, key=jax.random.PRNGKey(7))
+    np.testing.assert_array_equal(a, b)
+    assert ((0 <= a) & (a < 256)).all()
