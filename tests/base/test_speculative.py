@@ -84,3 +84,22 @@ def test_reject_mode_runs_and_is_deterministic(models):
     b = spec2.generate(ids, lens, max_new_tokens=8, key=jax.random.PRNGKey(7))
     np.testing.assert_array_equal(a, b)
     assert ((0 <= a) & (a < 256)).all()
+
+
+def test_speculative_with_int8_self_draft(models):
+    """Practical serving pattern: the draft is the w8a8-quantized twin of
+    the target. High acceptance, still lossless in greedy mode."""
+    from mojo_opset_tpu.modeling.qwen3 import quantize_qwen3
+
+    target, _ = models
+    draft = quantize_qwen3(target)
+    ids = np.array([5, 9, 2, 88, 41, 6], np.int32)
+    lens = np.array([6], np.int32)
+    steps = 10
+
+    want = _vanilla_greedy(target, ids, lens, steps)
+    spec = SpeculativeDecoder(target, draft, k=4, mode="greedy", block_size=16)
+    got = spec.generate(ids, lens, max_new_tokens=steps)
+    np.testing.assert_array_equal(got, want)
+    # int8 twin tracks the fp target closely -> high acceptance
+    assert spec.last_rounds <= 6, f"int8 self-draft acceptance too low: {spec.last_rounds} rounds"
