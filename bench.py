@@ -253,6 +253,58 @@ def bench_qwen3_int8_serving(rec: dict):
     return rec
 
 
+def bench_qwen3_speculative(rec: dict):
+    """bs=1 latency: vanilla greedy vs speculative decoding with the w8a8
+    self-draft (runtime/speculative.py). At bs=1 decode is weight-HBM
+    bound; the int8 twin reads half the bytes and its greedy stream
+    matches the bf16 target on most steps, so k accepted drafts + one
+    verify forward beat k+1 vanilla steps."""
+    from mojo_opset_tpu.modeling.qwen3 import Qwen3ForCausalLM, quantize_qwen3
+    from mojo_opset_tpu.runtime.speculative import SpeculativeDecoder
+    from mojo_opset_tpu.utils.init import build_on_device, device_init_scope
+    from mojo_opset_tpu.benchmark import device_sync
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    cfg = qwen3_4b_config() if on_tpu else _toy_config()
+
+    target = build_on_device(Qwen3ForCausalLM, cfg, key=jax.random.PRNGKey(0))
+
+    def qmake(m):
+        with device_init_scope():
+            return quantize_qwen3(m)
+
+    draft = jax.jit(qmake)(target)  # no donation: target stays live
+
+    rng = np.random.default_rng(0)
+    S, NEW = 512, 64
+    ids = rng.integers(0, cfg.vocab_size, (S,)).astype(np.int32)
+    lens = np.array([S], np.int32)
+
+    # vanilla bs=1 greedy via FusedDecode marginal timing
+    per_step, _ = _decode_per_step_s(target, cfg, batch=1, ctx=S)
+    rec["qwen3_bs1_decode_ms_tok"] = round(per_step * 1e3, 2)
+
+    spec = SpeculativeDecoder(target, draft, k=4, mode="greedy", block_size=64)
+    out = spec.generate(ids, lens, max_new_tokens=NEW)  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = spec.generate(ids, lens, max_new_tokens=NEW)
+        device_sync(jnp.asarray(out))
+        best = min(best, time.perf_counter() - t0)
+    # subtract the shared prefill cost measured separately
+    t0 = time.perf_counter()
+    sess = spec.new_sessions(1)
+    spec.prefill(sess, ids, lens)
+    device_sync(sess[0].caches.keys[0])
+    prefill_s = time.perf_counter() - t0
+    spec_ms_tok = max(best - prefill_s, 1e-9) / NEW * 1e3
+    rec["qwen3_bs1_spec_ms_tok"] = round(spec_ms_tok, 2)
+    rec["qwen3_bs1_spec_speedup"] = round(per_step * 1e3 / spec_ms_tok, 2)
+    rec["qwen3_bs1_spec_rounds"] = int(spec.last_rounds)
+    return rec
+
+
 def main():
     devices = _probe_devices_or_cpu()
     us, impl = bench_paged_decode_gqa()
@@ -276,6 +328,10 @@ def main():
         bench_qwen3_int8_serving(rec)
     except Exception as exc:
         rec["qwen3_int8_error"] = repr(exc)[:200]
+    try:
+        bench_qwen3_speculative(rec)
+    except Exception as exc:
+        rec["qwen3_spec_error"] = repr(exc)[:200]
     print(json.dumps(rec))
 
 

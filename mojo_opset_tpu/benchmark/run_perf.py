@@ -93,7 +93,9 @@ def run_case(spec: PerfSpec, provider: str, case, iters: int = 16,
         "op": spec.name,
         "case": case.id,
         "provider": provider,
-        "us": round(us, 2),
+        # 3 decimals: device_time_us floors noise-dominated marginals at
+        # 1e-3 us, which 2-decimal rounding would collapse to 0
+        "us": round(us, 3),
     }
     if workload.flops:
         rec["tflops"] = round(workload.flops / (us * 1e-6) / 1e12, 3)
