@@ -89,6 +89,20 @@ def qwen3_tp_rules(tp_axis: str = "tp") -> List[ShardRule]:
         ShardRule("*down_proj.weight", (None, tp_axis)),
         ShardRule("*embed_tokens.weight", (tp_axis, None)),
         ShardRule("*lm_head.weight", (tp_axis, None)),
+        # w8a8 serving models: per-output-channel QuantGemm scales follow
+        # the column-parallel weight split; row-parallel scales (o_proj,
+        # down_proj — full output dim) stay replicated. Seed-OSS keeps the
+        # qkv biases as model-level fp leaves next to the bias-free
+        # QuantGemm — same colwise split.
+        ShardRule("*q_proj.weight_scale", (tp_axis,)),
+        ShardRule("*k_proj.weight_scale", (tp_axis,)),
+        ShardRule("*v_proj.weight_scale", (tp_axis,)),
+        ShardRule("*gate_proj.weight_scale", (tp_axis,)),
+        ShardRule("*up_proj.weight_scale", (tp_axis,)),
+        ShardRule("*lm_head.weight_scale", (tp_axis,)),
+        ShardRule("*self_attn.q_bias", (tp_axis,)),
+        ShardRule("*self_attn.k_bias", (tp_axis,)),
+        ShardRule("*self_attn.v_bias", (tp_axis,)),
     ]
 
 

@@ -209,3 +209,45 @@ def test_dynamic_config_allows_extra_fields():
     assert cfg.hidden_size == 64
     assert cfg.custom_vendor_field == "abc"
     assert cfg.extra_fields() == {"custom_vendor_field": "abc"}
+
+
+def test_tp_generation_int8_serving_matches_single_device():
+    """w8a8 serving model under a 4-way GSPMD TP plan (shard_model +
+    qwen3_tp_rules incl. the QuantGemm weight_scale rules): prefill +
+    greedy decode must reproduce the unsharded int8 model's tokens."""
+    run_distributed("""
+    from mojo_opset_tpu.modeling.qwen3 import Qwen3Config, Qwen3ForCausalLM, quantize_qwen3
+    from mojo_opset_tpu.parallel.plans import qwen3_tp_rules, shard_model
+    from mojo_opset_tpu.runtime import (
+        GreedySampler, MojoGenerator, PagedAttentionGenerationModel,
+    )
+
+    class Tok:
+        eos_token_id = -1
+
+    cfg = Qwen3Config(hidden_size=64, intermediate_size=128, num_attention_heads=8,
+                      num_key_value_heads=4, num_hidden_layers=2, head_dim=16,
+                      vocab_size=128, max_position_embeddings=128, dtype=jnp.float32)
+    qm = quantize_qwen3(Qwen3ForCausalLM(cfg, key=jax.random.PRNGKey(7)))
+    ids = np.array([1, 2, 3, 4, 5, 9, 8], np.int32)
+    lens = np.array([5, 2], np.int32)
+
+    gm0 = PagedAttentionGenerationModel(qm, block_size=16, jit=False)
+    gen0 = MojoGenerator(gm0, Tok(), GreedySampler(), max_new_tokens=6)
+    want = gen0.generate_from_ids(ids, lens, ignore_eos=True, silent=True)
+
+    n = 4
+    mesh = Mesh(np.array(jax.devices()[:n]), ("tp",))
+    with jax.sharding.use_mesh(mesh) if hasattr(jax.sharding, "use_mesh") else mesh:
+        sharded = shard_model(qm, mesh, qwen3_tp_rules(tp_axis="tp"))
+        # the int8 weight AND its per-channel scale must both shard
+        sq = sharded.model.layers[0].self_attn.q_proj
+        assert "tp" in str(sq.weight.sharding.spec)
+        assert "tp" in str(sq.weight_scale.sharding.spec)
+        gm = PagedAttentionGenerationModel(sharded, block_size=16)
+        gen = MojoGenerator(gm, Tok(), GreedySampler(), max_new_tokens=6)
+        got = gen.generate_from_ids(ids, lens, ignore_eos=True, silent=True)
+
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    print("OK")
+    """)
