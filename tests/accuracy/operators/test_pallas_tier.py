@@ -115,3 +115,52 @@ def test_pallas_quant_gemm_odd_geometry_falls_back():
     np.testing.assert_allclose(
         np.asarray(op_p(x, xs), np.float32), np.asarray(op_r(x, xs), np.float32),
         rtol=1e-2, atol=1e-2)
+
+
+def _int8_paged_case(seq_lens, head_dim=128, q_lens=None, block_size=4, max_blocks=5):
+    """make_paged_case with int8 caches + per-channel (Hkv, D) scales —
+    the exact configuration the Qwen3 quant_kv serving mode drives."""
+    rng = np.random.default_rng(3)
+    case = make_paged_case(seq_lens=seq_lens, q_lens=q_lens, head_dim=head_dim,
+                           block_size=block_size, max_blocks=max_blocks)
+    hkv = case["key_cache"].shape[1]
+    case["key_cache"] = jnp.asarray(
+        rng.integers(-127, 128, case["key_cache"].shape, np.int8))
+    case["value_cache"] = jnp.asarray(
+        rng.integers(-127, 128, case["value_cache"].shape, np.int8))
+    case["key_scale"] = jnp.asarray(
+        rng.uniform(0.005, 0.02, (hkv, head_dim)).astype(np.float32))
+    case["value_scale"] = jnp.asarray(
+        rng.uniform(0.005, 0.02, (hkv, head_dim)).astype(np.float32))
+    return case
+
+
+def test_pallas_paged_decode_kv_dequant_matches_ref():
+    """Scale-folding int8-KV decode (serving path) vs the ref dequant."""
+    from mojo_opset_tpu.experimental.operators import MojoPagedDecodeGQAWithKVDequant
+
+    case = _int8_paged_case(seq_lens=(9, 2, 16))
+    q = randn(5, (3, case["hq"], 128), jnp.bfloat16)
+    args = (q, None, case["key_cache"], case["key_scale"], case["value_cache"],
+            case["value_scale"], case["seq_lens"], case["block_tables"])
+    op_p = MojoPagedDecodeGQAWithKVDequant.get_backend_impl("pallas", strict=True)(
+        query_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
+    op_r = MojoPagedDecodeGQAWithKVDequant.get_backend_impl("ref")(
+        query_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
+    op_p.forward_diff_with(op_r, *args, atol=2e-2, rtol=2e-2)
+
+
+def test_pallas_paged_prefill_kv_dequant_matches_ref():
+    from mojo_opset_tpu.experimental.operators import MojoPagedPrefillGQAWithKVDequant
+
+    case = _int8_paged_case(seq_lens=(23, 5, 37), q_lens=(23, 5, 20),
+                            block_size=16, max_blocks=4)
+    q = randn(7, (case["total_q"], case["hq"], 128), jnp.bfloat16)
+    args = (q, None, case["key_cache"], case["key_scale"], case["value_cache"],
+            case["value_scale"], case["cu_q_lens"], case["block_tables"], None,
+            case["cu_total_seq_lens"])
+    op_p = MojoPagedPrefillGQAWithKVDequant.get_backend_impl("pallas", strict=True)(
+        gqa_layout="AABB", query_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
+    op_r = MojoPagedPrefillGQAWithKVDequant.get_backend_impl("ref")(
+        gqa_layout="AABB", query_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
+    op_p.forward_diff_with(op_r, *args, atol=2e-2, rtol=2e-2)
