@@ -91,6 +91,9 @@ def main():
                         help="post-training int8 weight+activation serving mode")
     parser.add_argument("--quant-kv", action="store_true",
                         help="int8 (C8) KV cache with prefill-calibrated channel scales")
+    parser.add_argument("--speculative", type=int, default=0, metavar="K",
+                        help="greedy speculative decoding with K drafts/round "
+                             "(draft = the w8a8 twin of the model; lossless)")
     args = parser.parse_args()
 
     from mojo_opset_tpu.runtime import (
@@ -118,6 +121,25 @@ def main():
                                 max_new_tokens=args.max_new_tokens)
         gen(prefill_seqlens=(512, 1024, 2048), decode_batch_sizes=(1, 2, 4, 8),
             fused=args.fused)
+        return
+
+    if args.speculative:
+        from mojo_opset_tpu.modeling.qwen3 import quantize_qwen3
+        from mojo_opset_tpu.runtime import SpeculativeDecoder
+
+        enc = tokenizer(args.prompt)
+        raw = enc["input_ids"] if isinstance(enc, dict) else enc.input_ids
+        ids = np.asarray(raw, np.int32).reshape(-1)
+        spec = SpeculativeDecoder(
+            model, quantize_qwen3(model), k=args.speculative,
+            mode="greedy", block_size=args.block_size,
+        )
+        out = spec.generate(ids, np.array([ids.size], np.int32),
+                            max_new_tokens=args.max_new_tokens)
+        print("-" * 40)
+        print(f"generated ids ({spec.last_rounds} verify rounds):", out)
+        if hasattr(tokenizer, "decode"):
+            print("decoded:", tokenizer.decode(out[0]))
         return
 
     gen = MojoGenerator(gen_model, tokenizer, sampler,
