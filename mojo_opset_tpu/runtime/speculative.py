@@ -178,8 +178,13 @@ class SpeculativeDecoder:
 
     # -- full generate loop --------------------------------------------------
     def generate(self, input_ids, q_lens, max_new_tokens: int,
-                 key: Optional[jax.Array] = None):
-        """Greedy/speculative generate; returns (B, max_new_tokens) ids."""
+                 key: Optional[jax.Array] = None,
+                 eos_token_id: Optional[int] = None):
+        """Greedy/speculative generate; returns (B, max_new_tokens) ids.
+
+        With ``eos_token_id``, everything after a sequence's first EOS is
+        clamped to EOS (batch-serving semantics, matching
+        MojoGenerator's masking — generation.py EOS handling)."""
         q_lens = np.asarray(q_lens, np.int32)
         B = q_lens.size
         sessions = self.new_sessions(B)
@@ -187,20 +192,36 @@ class SpeculativeDecoder:
 
         out = np.zeros((B, max_new_tokens), np.int32)
         filled = np.zeros(B, np.int64)
+        done = np.zeros(B, bool)
         # first token comes straight from the prefill
         out[:, 0] = np.asarray(cur)
         filled[:] = 1
+        if eos_token_id is not None:
+            done |= out[:, 0] == eos_token_id
         rounds = 0
-        while (filled < max_new_tokens).any():
+        while ((filled < max_new_tokens) & ~done).any():
             if key is not None:
                 key, sub = jax.random.split(key)
             else:
                 sub = None
             emitted, counts, cur = self.round(sessions, cur, key=sub)
             for b in range(B):
+                if done[b]:
+                    continue
                 take = int(min(counts[b], max_new_tokens - filled[b]))
-                out[b, filled[b]:filled[b] + take] = emitted[b, :take]
+                chunk = emitted[b, :take]
+                if eos_token_id is not None:
+                    hits = np.nonzero(chunk == eos_token_id)[0]
+                    if hits.size:
+                        take = int(hits[0]) + 1
+                        chunk = chunk[:take]
+                        done[b] = True
+                out[b, filled[b]:filled[b] + take] = chunk
                 filled[b] += take
             rounds += 1
+        if eos_token_id is not None:
+            for b in range(B):
+                if done[b] and filled[b] < max_new_tokens:
+                    out[b, filled[b]:] = eos_token_id
         self.last_rounds = rounds
         return out

@@ -103,3 +103,20 @@ def test_speculative_with_int8_self_draft(models):
     np.testing.assert_array_equal(got, want)
     # int8 twin tracks the fp target closely -> high acceptance
     assert spec.last_rounds <= 6, f"int8 self-draft acceptance too low: {spec.last_rounds} rounds"
+
+
+def test_speculative_eos_clamping(models):
+    """Tokens after a sequence's first EOS are clamped to EOS, matching
+    the generator loop's batch-serving semantics."""
+    target, draft = models
+    ids = np.array([5, 9, 2, 88, 41, 6], np.int32)
+    lens = np.array([6], np.int32)
+    spec = SpeculativeDecoder(target, draft, k=3, mode="greedy", block_size=16)
+    plain = spec.generate(ids, lens, max_new_tokens=10)
+    # pick the 4th generated token as a fake EOS so clamping kicks in mid-stream
+    eos = int(plain[0, 3])
+    spec2 = SpeculativeDecoder(target, draft, k=3, mode="greedy", block_size=16)
+    out = spec2.generate(ids, lens, max_new_tokens=10, eos_token_id=eos)
+    first = int(np.nonzero(out[0] == eos)[0][0])
+    np.testing.assert_array_equal(out[0, :first + 1], plain[0, :first + 1])
+    assert (out[0, first:] == eos).all()
