@@ -1,0 +1,139 @@
+"""Continuous batching over the paged-KV session.
+
+Slot-level admission/eviction the reference's generator lacks (its
+MojoGenerator serves one fixed batch per call): a fixed pool of B slots
+decodes in lock-step (one XLA executable per step, shapes never change),
+finished sequences release their KV blocks back to the pool
+(session.release_sequence — the allocator is host-side), and queued
+requests are admitted into free slots with a single mixed prefill whose
+``q_lens`` vector is zero everywhere except the admitted slots — the
+varlen paged contracts (cu_q_lens) handle zero-length entries natively.
+
+TPU-native consequence: admission never recompiles anything. The decode
+step signature is pinned at B, and each distinct admit signature (set of
+nonzero q_len buckets) compiles once into the CompiledStepPool.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mojo_opset_tpu.runtime.session import PagedAttentionGenerationModel
+
+
+class ContinuousBatchingGenerator:
+    """Greedy continuous-batching serving loop.
+
+    ``submit(ids)`` enqueues a request and returns its request id;
+    ``run()`` drains the queue and returns outputs keyed by request id.
+    """
+
+    def __init__(self, model, batch_slots: int = 8, block_size: int = 128,
+                 max_new_tokens: int = 64, eos_token_id: Optional[int] = None,
+                 pad_token_id: int = 0):
+        self.gm = PagedAttentionGenerationModel(model, block_size=block_size)
+        self.B = batch_slots
+        self.max_new_tokens = max_new_tokens
+        self.eos_token_id = eos_token_id
+        self.pad_token_id = pad_token_id
+        self.session = None
+        self._queue: deque = deque()
+        self._next_id = 0
+        # per-slot state
+        self._req_id = [-1] * self.B
+        self._out: List[List[int]] = [[] for _ in range(self.B)]
+        self._cur = np.full(self.B, pad_token_id, np.int32)
+        self._results = {}
+
+    def submit(self, ids: Sequence[int]) -> int:
+        rid = self._next_id
+        self._next_id += 1
+        self._queue.append((rid, np.asarray(ids, np.int32).reshape(-1)))
+        return rid
+
+    # -- internals -----------------------------------------------------------
+    def _free_slots(self) -> List[int]:
+        return [s for s in range(self.B) if self._req_id[s] < 0]
+
+    def _admit(self) -> None:
+        """Fill free slots from the queue with ONE mixed prefill."""
+        slots = self._free_slots()
+        if not slots or not self._queue:
+            return
+        admitted = []
+        for s in slots:
+            if not self._queue:
+                break
+            rid, ids = self._queue.popleft()
+            admitted.append((s, rid, ids))
+        if not admitted:
+            return
+
+        # exact q_lens: left-padding a prompt would corrupt causal
+        # attention (pads are real tokens to the paged kernels). Each
+        # distinct admit signature compiles once into the step pool; the
+        # hot decode loop's shape never changes.
+        q_lens = np.zeros(self.B, np.int32)
+        chunks = {s: ids for s, _, ids in admitted}
+        for s, _, ids in admitted:
+            if int(self.session.total_seq_lens[s]) > 0:
+                # reclaim a parked slot's blocks before reuse
+                self.session.release_sequence(s)
+            q_lens[s] = ids.size
+        flat = [chunks[s] for s in range(self.B) if q_lens[s]]
+        flat = np.concatenate(flat) if flat else np.empty((0,), np.int32)
+
+        logits, self.session = self.gm(flat, context_input_len=q_lens,
+                                       session=self.session)
+        first = np.asarray(jnp.argmax(logits, -1), np.int32)
+        # lm_head_indices = cu_q_lens[1:]-1 gives one logits row PER SLOT
+        # (garbage rows for the zero-length ones — never read)
+        for s, rid, _ids in admitted:
+            self._req_id[s] = rid
+            tok = int(first[s])
+            self._out[s] = [tok]
+            self._cur[s] = tok
+            self._maybe_finish(s, tok)
+
+    def _maybe_finish(self, s: int, tok: int) -> None:
+        done = len(self._out[s]) >= self.max_new_tokens or (
+            self.eos_token_id is not None and tok == self.eos_token_id
+        )
+        if done:
+            self._results[self._req_id[s]] = np.asarray(self._out[s], np.int32)
+            self._req_id[s] = -1
+            self._out[s] = []
+            self.session.release_sequence(s)
+            self._cur[s] = self.pad_token_id
+
+    def _active(self) -> List[int]:
+        return [s for s in range(self.B) if self._req_id[s] >= 0]
+
+    def run(self):
+        """Drain the queue; returns {request_id: np.ndarray of new tokens}."""
+        if self.session is None:
+            self.session = self.gm._new_session(
+                np.zeros(self.B, np.int32), np.ones(self.B, np.int32))
+            self.session.reset()  # lens back to 0, cache pool kept
+
+        while self._queue or self._active():
+            self._admit()
+            if not self._active():
+                continue
+            # lock-step decode: parked slots feed pad tokens into slot-
+            # local garbage that admission reclaims via release_sequence
+            logits, self.session = self.gm(self._cur, session=self.session)
+            toks = np.asarray(jnp.argmax(logits, -1), np.int32)
+            for s in self._active():
+                tok = int(toks[s])
+                self._out[s].append(tok)
+                self._cur[s] = tok
+                self._maybe_finish(s, tok)
+        out, self._results = self._results, {}
+        return out
