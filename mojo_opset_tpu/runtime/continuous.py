@@ -36,12 +36,24 @@ class ContinuousBatchingGenerator:
 
     def __init__(self, model, batch_slots: int = 8, block_size: int = 128,
                  max_new_tokens: int = 64, eos_token_id: Optional[int] = None,
-                 pad_token_id: int = 0):
+                 pad_token_id: int = 0, decode_window: int = 1):
         self.gm = PagedAttentionGenerationModel(model, block_size=block_size)
         self.B = batch_slots
         self.max_new_tokens = max_new_tokens
         self.eos_token_id = eos_token_id
         self.pad_token_id = pad_token_id
+        # decode_window > 1: run w lock-step decode steps inside ONE
+        # donated-buffer executable (FusedDecode) between admission
+        # checks — amortizes the host-dispatch round trip, the dominant
+        # serving overhead through a tunneled chip. Finished slots decode
+        # garbage for the rest of the window; their output is truncated
+        # at EOS and the slot's blocks are reclaimed on re-admission.
+        self.decode_window = max(1, int(decode_window))
+        self._fused = None
+        if self.decode_window > 1:
+            from mojo_opset_tpu.runtime.session import FusedDecode
+
+            self._fused = FusedDecode(model, sample_method="greedy")
         self.session = None
         self._queue: deque = deque()
         self._next_id = 0
@@ -125,6 +137,24 @@ class ContinuousBatchingGenerator:
         while self._queue or self._active():
             self._admit()
             if not self._active():
+                continue
+            if self._fused is not None:
+                # bound the window by the tightest remaining budget so no
+                # active slot overshoots max_new_tokens
+                w = min(
+                    self.decode_window,
+                    min(self.max_new_tokens - len(self._out[s]) for s in self._active()),
+                )
+                w = max(w, 1)
+                window = np.asarray(
+                    self._fused(self.session, jnp.asarray(self._cur), w), np.int32
+                )  # (w, B)
+                for t in range(w):
+                    for s in list(self._active()):
+                        tok = int(window[t, s])
+                        self._out[s].append(tok)
+                        self._cur[s] = tok
+                        self._maybe_finish(s, tok)
                 continue
             # lock-step decode: parked slots feed pad tokens into slot-
             # local garbage that admission reclaims via release_sequence

@@ -78,3 +78,32 @@ def test_second_run_reuses_session(model):
     r1 = gen.submit(p)  # same prompt resubmitted after the pool drained
     second = gen.run()
     np.testing.assert_array_equal(first[r0], second[r1])
+
+
+def test_fused_window_matches_standalone(model):
+    """decode_window > 1 (FusedDecode between admissions) must emit the
+    same per-request streams as the step-by-step path."""
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(1, 256, (int(n),)).astype(np.int32)
+               for n in (5, 9, 3, 7, 4)]
+    steps = 7
+    gen = ContinuousBatchingGenerator(model, batch_slots=2, block_size=16,
+                                      max_new_tokens=steps, decode_window=3)
+    rids = [gen.submit(p) for p in prompts]
+    results = gen.run()
+    for rid, p in zip(rids, prompts):
+        np.testing.assert_array_equal(results[rid], _standalone(model, p, steps),
+                                      err_msg=f"request {rid} diverged (fused window)")
+
+
+def test_fused_window_with_eos(model):
+    rng = np.random.default_rng(9)
+    p0 = rng.integers(1, 256, (6,)).astype(np.int32)
+    ref = _standalone(model, p0, 8)
+    eos = int(ref[4])
+    gen = ContinuousBatchingGenerator(model, batch_slots=1, block_size=16,
+                                      max_new_tokens=8, eos_token_id=eos,
+                                      decode_window=3)
+    r0 = gen.submit(p0)
+    results = gen.run()
+    np.testing.assert_array_equal(results[r0], ref[:5])
