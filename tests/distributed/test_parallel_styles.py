@@ -251,3 +251,43 @@ def test_tp_generation_int8_serving_matches_single_device():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
     print("OK")
     """)
+
+
+def test_tp_speculative_decoding_matches_single_device():
+    """SpeculativeDecoder with a TP-sharded target (GSPMD plan) must stay
+    lossless vs the unsharded model's greedy stream."""
+    run_distributed("""
+    from mojo_opset_tpu.modeling.qwen3 import Qwen3Config, Qwen3ForCausalLM, quantize_qwen3
+    from mojo_opset_tpu.parallel.plans import qwen3_tp_rules, shard_model
+    from mojo_opset_tpu.runtime import PagedAttentionGenerationModel
+    from mojo_opset_tpu.runtime.speculative import SpeculativeDecoder
+
+    cfg = Qwen3Config(hidden_size=64, intermediate_size=128, num_attention_heads=8,
+                      num_key_value_heads=4, num_hidden_layers=2, head_dim=16,
+                      vocab_size=128, max_position_embeddings=256, dtype=jnp.float32)
+    model = Qwen3ForCausalLM(cfg, key=jax.random.PRNGKey(7))
+    ids = np.array([1, 2, 3, 4, 5], np.int32)
+    lens = np.array([5], np.int32)
+    steps = 8
+
+    # unsharded greedy oracle
+    gm0 = PagedAttentionGenerationModel(model, block_size=16, jit=False)
+    logits, session = gm0(ids, context_input_len=lens)
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    want = [int(tok[0])]
+    for _ in range(steps - 1):
+        logits, session = gm0(np.asarray(tok, np.int32), session=session)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        want.append(int(tok[0]))
+
+    n = 4
+    mesh = Mesh(np.array(jax.devices()[:n]), ("tp",))
+    with jax.sharding.use_mesh(mesh) if hasattr(jax.sharding, "use_mesh") else mesh:
+        target = shard_model(model, mesh, qwen3_tp_rules(tp_axis="tp"))
+        draft = shard_model(quantize_qwen3(model), mesh, qwen3_tp_rules(tp_axis="tp"))
+        spec = SpeculativeDecoder(target, draft, k=3, mode="greedy", block_size=16)
+        got = spec.generate(ids, lens, max_new_tokens=steps)
+
+    np.testing.assert_array_equal(got[0], np.asarray(want, np.int32))
+    print("OK")
+    """)
