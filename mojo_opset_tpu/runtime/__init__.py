@@ -32,4 +32,7 @@ from mojo_opset_tpu.runtime.parallel import (
     merge_group_and_share_ffn,
 )
 from mojo_opset_tpu.runtime.speculative import SpeculativeDecoder
-from mojo_opset_tpu.runtime.continuous import ContinuousBatchingGenerator
+from mojo_opset_tpu.runtime.continuous import (
+    ContinuousBatchingGenerator,
+    SpeculativeContinuousBatchingGenerator,
+)

@@ -39,6 +39,7 @@ class ContinuousBatchingGenerator:
                  pad_token_id: int = 0, decode_window: int = 1):
         self.gm = PagedAttentionGenerationModel(model, block_size=block_size)
         self.B = batch_slots
+        self.block_size = block_size
         self.max_new_tokens = max_new_tokens
         self.eos_token_id = eos_token_id
         self.pad_token_id = pad_token_id
@@ -127,12 +128,15 @@ class ContinuousBatchingGenerator:
     def _active(self) -> List[int]:
         return [s for s in range(self.B) if self._req_id[s] >= 0]
 
-    def run(self):
-        """Drain the queue; returns {request_id: np.ndarray of new tokens}."""
+    def _ensure_sessions(self) -> None:
         if self.session is None:
             self.session = self.gm._new_session(
                 np.zeros(self.B, np.int32), np.ones(self.B, np.int32))
             self.session.reset()  # lens back to 0, cache pool kept
+
+    def run(self):
+        """Drain the queue; returns {request_id: np.ndarray of new tokens}."""
+        self._ensure_sessions()
 
         while self._queue or self._active():
             self._admit()
@@ -165,5 +169,107 @@ class ContinuousBatchingGenerator:
                 self._out[s].append(tok)
                 self._cur[s] = tok
                 self._maybe_finish(s, tok)
+        out, self._results = self._results, {}
+        return out
+
+
+class SpeculativeContinuousBatchingGenerator(ContinuousBatchingGenerator):
+    """Continuous batching + speculative decoding: each round advances
+    every active slot by 1..k+1 tokens (SpeculativeDecoder.round — fused
+    k-step draft + ONE chunked-prefill verify), admission refills freed
+    slots on BOTH sessions. Greedy and lossless, like the parts."""
+
+    def __init__(self, model, draft_model, speculative_k: int = 4, **kw):
+        kw.pop("decode_window", None)  # the spec round IS the fused window
+        super().__init__(model, **kw)
+        from mojo_opset_tpu.runtime.speculative import SpeculativeDecoder
+
+        self.spec = SpeculativeDecoder(
+            model, draft_model, k=speculative_k, mode="greedy",
+            block_size=self.block_size,
+        )
+        self.dgm = PagedAttentionGenerationModel(draft_model, block_size=self.block_size)
+        self.dsession = None
+
+    def _ensure_sessions(self) -> None:
+        super()._ensure_sessions()
+        if self.dsession is None:
+            self.dsession = self.dgm._new_session(
+                np.zeros(self.B, np.int32), np.ones(self.B, np.int32))
+            self.dsession.reset()
+
+    def _maybe_finish(self, s: int, tok: int) -> None:
+        was_active = self._req_id[s] >= 0
+        super()._maybe_finish(s, tok)
+        if was_active and self._req_id[s] < 0 and self.dsession is not None:
+            self.dsession.release_sequence(s)
+
+    def _admit(self) -> None:
+        slots = self._free_slots()
+        if not slots or not self._queue:
+            return
+        admitted = []
+        for s in slots:
+            if not self._queue:
+                break
+            rid, ids = self._queue.popleft()
+            admitted.append((s, rid, ids))
+        if not admitted:
+            return
+
+        q_lens = np.zeros(self.B, np.int32)
+        chunks = {s: ids for s, _, ids in admitted}
+        for s, _, ids in admitted:
+            for sess in (self.session, self.dsession):
+                if int(sess.total_seq_lens[s]) > 0:
+                    sess.release_sequence(s)
+            q_lens[s] = ids.size
+        flat = [chunks[s] for s in range(self.B) if q_lens[s]]
+        flat = np.concatenate(flat) if flat else np.empty((0,), np.int32)
+
+        logits, self.session = self.gm(flat, context_input_len=q_lens,
+                                       session=self.session)
+        _, self.dsession = self.dgm(flat, context_input_len=q_lens,
+                                    session=self.dsession)
+        first = np.asarray(jnp.argmax(logits, -1), np.int32)
+        for s, rid, _ids in admitted:
+            self._req_id[s] = rid
+            tok = int(first[s])
+            self._out[s] = [tok]
+            self._cur[s] = tok
+            self._maybe_finish(s, tok)
+
+    def run(self):
+        self._ensure_sessions()
+        while self._queue or self._active():
+            self._admit()
+            if not self._active():
+                continue
+            emitted, counts, next_cur = self.spec.round(
+                (self.session, self.dsession), jnp.asarray(self._cur))
+            next_cur = np.asarray(next_cur, np.int32)
+            for s in list(self._active()):
+                budget = self.max_new_tokens - len(self._out[s])
+                take = int(min(counts[s], budget))
+                chunk = emitted[s, :take]
+                if self.eos_token_id is not None:
+                    hits = np.nonzero(chunk == self.eos_token_id)[0]
+                    if hits.size:
+                        chunk = chunk[: int(hits[0]) + 1]
+                self._out[s].extend(int(t) for t in chunk)
+                self._cur[s] = next_cur[s]
+                # budget exhausted, explicit EOS, or truncation all end here
+                last = int(chunk[-1]) if chunk.size else int(next_cur[s])
+                if len(chunk) < int(counts[s]) or len(self._out[s]) >= self.max_new_tokens:
+                    # force completion on truncation even without EOS match
+                    self._results[self._req_id[s]] = np.asarray(
+                        self._out[s][: self.max_new_tokens], np.int32)
+                    self._req_id[s] = -1
+                    self._out[s] = []
+                    self.session.release_sequence(s)
+                    self.dsession.release_sequence(s)
+                    self._cur[s] = self.pad_token_id
+                else:
+                    self._maybe_finish(s, last)
         out, self._results = self._results, {}
         return out

@@ -107,3 +107,41 @@ def test_fused_window_with_eos(model):
     r0 = gen.submit(p0)
     results = gen.run()
     np.testing.assert_array_equal(results[r0], ref[:5])
+
+
+def test_speculative_continuous_matches_standalone(model):
+    """The full stack — continuous batching + speculative rounds with an
+    int8 self-draft — must still emit exact standalone greedy streams."""
+    from mojo_opset_tpu.modeling.qwen3 import quantize_qwen3
+    from mojo_opset_tpu.runtime.continuous import SpeculativeContinuousBatchingGenerator
+
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(1, 256, (int(n),)).astype(np.int32)
+               for n in (5, 9, 3, 7, 4)]
+    steps = 7
+    gen = SpeculativeContinuousBatchingGenerator(
+        model, quantize_qwen3(model), speculative_k=3,
+        batch_slots=2, block_size=16, max_new_tokens=steps,
+    )
+    rids = [gen.submit(p) for p in prompts]
+    results = gen.run()
+    for rid, p in zip(rids, prompts):
+        np.testing.assert_array_equal(results[rid], _standalone(model, p, steps),
+                                      err_msg=f"request {rid} diverged (spec+cb)")
+
+
+def test_speculative_continuous_eos(model):
+    from mojo_opset_tpu.modeling.qwen3 import quantize_qwen3
+    from mojo_opset_tpu.runtime.continuous import SpeculativeContinuousBatchingGenerator
+
+    rng = np.random.default_rng(9)
+    p0 = rng.integers(1, 256, (6,)).astype(np.int32)
+    ref = _standalone(model, p0, 8)
+    eos = int(ref[4])
+    gen = SpeculativeContinuousBatchingGenerator(
+        model, quantize_qwen3(model), speculative_k=3,
+        batch_slots=1, block_size=16, max_new_tokens=8, eos_token_id=eos,
+    )
+    r0 = gen.submit(p0)
+    results = gen.run()
+    np.testing.assert_array_equal(results[r0], ref[:5])
