@@ -36,13 +36,24 @@ class ContinuousBatchingGenerator:
 
     def __init__(self, model, batch_slots: int = 8, block_size: int = 128,
                  max_new_tokens: int = 64, eos_token_id: Optional[int] = None,
-                 pad_token_id: int = 0, decode_window: int = 1):
+                 pad_token_id: int = 0, decode_window: int = 1,
+                 bucket_admits: bool = False):
         self.gm = PagedAttentionGenerationModel(model, block_size=block_size)
         self.B = batch_slots
         self.block_size = block_size
         self.max_new_tokens = max_new_tokens
         self.eos_token_id = eos_token_id
         self.pad_token_id = pad_token_id
+        # bucket_admits: pad every admission's TOTAL token count to a
+        # bucket so the admit prefill compiles a bounded number of
+        # executables (each unique shape is a 20-100 s remote compile
+        # through a tunneled chip). Padding lives in a dedicated SCRATCH
+        # slot — the real slots' q_lens stay exact, so causal attention
+        # and last-token logits are untouched; the scratch slot's garbage
+        # KV blocks are released before every admission.
+        self.bucket_admits = bool(bucket_admits)
+        self._scratch = batch_slots if bucket_admits else None
+        self._nslots = batch_slots + (1 if bucket_admits else 0)
         # decode_window > 1: run w lock-step decode steps inside ONE
         # donated-buffer executable (FusedDecode) between admission
         # checks — amortizes the host-dispatch round trip, the dominant
@@ -58,10 +69,10 @@ class ContinuousBatchingGenerator:
         self.session = None
         self._queue: deque = deque()
         self._next_id = 0
-        # per-slot state
+        # per-slot state (the scratch slot, if any, has no request state)
         self._req_id = [-1] * self.B
         self._out: List[List[int]] = [[] for _ in range(self.B)]
-        self._cur = np.full(self.B, pad_token_id, np.int32)
+        self._cur = np.full(self._nslots, pad_token_id, np.int32)
         self._results = {}
 
     def submit(self, ids: Sequence[int]) -> int:
@@ -88,18 +99,28 @@ class ContinuousBatchingGenerator:
         if not admitted:
             return
 
-        # exact q_lens: left-padding a prompt would corrupt causal
-        # attention (pads are real tokens to the paged kernels). Each
-        # distinct admit signature compiles once into the step pool; the
-        # hot decode loop's shape never changes.
-        q_lens = np.zeros(self.B, np.int32)
+        # exact per-slot q_lens: padding a prompt would corrupt causal
+        # attention (pads are real tokens to the paged kernels). Without
+        # bucket_admits each distinct admit signature compiles once into
+        # the step pool; with it, the TOTAL is padded via the scratch slot
+        # so the signature set is bounded by the bucket list.
+        q_lens = np.zeros(self._nslots, np.int32)
         chunks = {s: ids for s, _, ids in admitted}
         for s, _, ids in admitted:
             if int(self.session.total_seq_lens[s]) > 0:
                 # reclaim a parked slot's blocks before reuse
                 self.session.release_sequence(s)
             q_lens[s] = ids.size
-        flat = [chunks[s] for s in range(self.B) if q_lens[s]]
+        if self.bucket_admits:
+            from mojo_opset_tpu.runtime.compile_cache import round_up_bucket
+
+            if int(self.session.total_seq_lens[self._scratch]) > 0:
+                self.session.release_sequence(self._scratch)
+            total = int(q_lens.sum())
+            q_lens[self._scratch] = round_up_bucket(total) - total
+            chunks[self._scratch] = np.full(
+                q_lens[self._scratch], self.pad_token_id, np.int32)
+        flat = [chunks[s] for s in range(self._nslots) if q_lens[s]]
         flat = np.concatenate(flat) if flat else np.empty((0,), np.int32)
 
         logits, self.session = self.gm(flat, context_input_len=q_lens,
@@ -131,7 +152,7 @@ class ContinuousBatchingGenerator:
     def _ensure_sessions(self) -> None:
         if self.session is None:
             self.session = self.gm._new_session(
-                np.zeros(self.B, np.int32), np.ones(self.B, np.int32))
+                np.zeros(self._nslots, np.int32), np.ones(self._nslots, np.int32))
             self.session.reset()  # lens back to 0, cache pool kept
 
     def run(self):
@@ -181,6 +202,9 @@ class SpeculativeContinuousBatchingGenerator(ContinuousBatchingGenerator):
 
     def __init__(self, model, draft_model, speculative_k: int = 4, **kw):
         kw.pop("decode_window", None)  # the spec round IS the fused window
+        assert not kw.pop("bucket_admits", False), (
+            "bucket_admits is not supported with speculative rounds yet"
+        )
         super().__init__(model, **kw)
         from mojo_opset_tpu.runtime.speculative import SpeculativeDecoder
 

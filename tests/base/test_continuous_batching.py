@@ -145,3 +145,23 @@ def test_speculative_continuous_eos(model):
     r0 = gen.submit(p0)
     results = gen.run()
     np.testing.assert_array_equal(results[r0], ref[:5])
+
+
+def test_bucketed_admits_match_standalone(model):
+    """bucket_admits pads the admit total via the scratch slot: bounded
+    compile signatures, identical per-request streams."""
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(1, 256, (int(n),)).astype(np.int32)
+               for n in (5, 9, 3, 7, 4)]
+    steps = 6
+    gen = ContinuousBatchingGenerator(model, batch_slots=2, block_size=16,
+                                      max_new_tokens=steps, bucket_admits=True)
+    rids = [gen.submit(p) for p in prompts]
+    results = gen.run()
+    for rid, p in zip(rids, prompts):
+        np.testing.assert_array_equal(results[rid], _standalone(model, p, steps),
+                                      err_msg=f"request {rid} diverged (bucketed)")
+    # every admit prefill shape was a bucket: the pool holds at most the
+    # decode signature + a handful of bucketed prefill signatures
+    n_sigs = len(gen.gm._runner_memo)
+    assert n_sigs <= 4, f"too many compiled signatures: {n_sigs}"
