@@ -25,8 +25,12 @@ import mojo_opset_tpu as m
 """
 
 
-def run_distributed(code: str, timeout: int = 300) -> str:
-    """Run a code snippet in a subprocess with 8 virtual CPU devices."""
+def run_distributed(code: str, timeout: int = 1200) -> str:
+    """Run a code snippet in a subprocess with 8 virtual CPU devices.
+
+    Generous timeout: under pytest-xdist on a small host the subprocess
+    competes with every other worker for cores while compiling several
+    8-device XLA programs — 300 s flaked on a 1-CPU box."""
     script = PREAMBLE + textwrap.dedent(code)
     env = dict(os.environ)
     env.pop("MOJO_BACKEND", None)

@@ -151,7 +151,7 @@ def test_tp_generation_fused_matches_single_device():
     np.testing.assert_array_equal(np.asarray(got_step), np.asarray(want))
     np.testing.assert_array_equal(np.asarray(got_fused), np.asarray(want))
     print("OK")
-    """, timeout=600)
+    """, timeout=1200)
 
 
 def test_registerable_style_dist_info_registry_and_apply():
