@@ -54,6 +54,11 @@ class SpeculativeDecoder:
 
         self._verify_pool = CompiledStepPool(_verify, donate_argnums=(4,))
 
+        def _prefill(model, ids, positions, meta, caches, lm_head_indices):
+            return model(ids, positions, meta, caches, lm_head_indices=lm_head_indices)
+
+        self._prefill_pool = CompiledStepPool(_prefill, donate_argnums=(4,))
+
         def _draft_round(model, first_tokens, caches, lens0, block_tables, k):
             """k+1 greedy draft steps inside one executable; returns k
             proposed tokens (k, B) and their draft probs. The extra step
@@ -94,16 +99,19 @@ class SpeculativeDecoder:
         return t, d
 
     def prefill(self, sessions, input_ids, q_lens):
-        """Prefill BOTH models on the prompt; returns the first target
-        token (greedy) per sequence."""
+        """Prefill BOTH models on the prompt (pooled executables);
+        returns the first target token (greedy) per sequence."""
         tsess, dsess = sessions
         ids, pos, meta = tsess.prepare_prefill_inputs(input_ids, q_lens)
         lm_idx = meta.cu_q_lens[1:] - 1
-        logits, tsess.caches = self.target(
-            ids, pos, meta, tsess.caches, lm_head_indices=lm_idx)
+        runner = self._prefill_pool.get_runner(
+            self.target, ids, pos, meta, tsess.caches, lm_idx)
+        logits, tsess.caches = runner(self.target, ids, pos, meta, tsess.caches, lm_idx)
         ids_d, pos_d, meta_d = dsess.prepare_prefill_inputs(input_ids, q_lens)
-        _, dsess.caches = self.draft(
-            ids_d, pos_d, meta_d, dsess.caches, lm_head_indices=meta_d.cu_q_lens[1:] - 1)
+        lm_idx_d = meta_d.cu_q_lens[1:] - 1
+        drunner = self._prefill_pool.get_runner(
+            self.draft, ids_d, pos_d, meta_d, dsess.caches, lm_idx_d)
+        _, dsess.caches = drunner(self.draft, ids_d, pos_d, meta_d, dsess.caches, lm_idx_d)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     def _rollback(self, session, new_lens: np.ndarray) -> None:
