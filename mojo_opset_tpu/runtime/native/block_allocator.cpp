@@ -90,10 +90,13 @@ int32_t mojo_alloc_reserve(Allocator* a, const int32_t* q_lens,
 void mojo_alloc_release(Allocator* a, int32_t batch_idx, int32_t* seq_lens,
                         int32_t* block_tables) {
   if (batch_idx < 0 || batch_idx >= a->batch) return;
-  const int32_t used = ceil_div(seq_lens[batch_idx], a->block_size);
+  // Free EVERY valid row entry, not just ceil(len/bs): speculative
+  // decoding rewinds seq_lens after rejecting drafted tokens, which can
+  // leave reserved blocks beyond the rewound length — slicing by `used`
+  // would leak them on release.
   int32_t* row =
       block_tables + static_cast<int64_t>(batch_idx) * a->max_blocks_per_seq;
-  for (int32_t b = used - 1; b >= 0; --b) {
+  for (int32_t b = a->max_blocks_per_seq - 1; b >= 0; --b) {
     if (row[b] >= 0) a->free_stack.push_back(row[b]);
     row[b] = -1;
   }

@@ -277,16 +277,20 @@ class PagedAttentionRuntimeState:
 
     def release_sequence(self, batch_idx: int) -> None:
         """Return a finished sequence's blocks to the pool (continuous
-        batching slot reuse)."""
+        batching slot reuse).
+
+        Frees EVERY valid row entry, not just ceil(len/block_size):
+        speculative decoding rewinds total_seq_lens after rejecting
+        drafted tokens, which can leave reserved blocks beyond the
+        rewound length — slicing by the length would leak them."""
         if self._native is not None:
             self._native.release(batch_idx, self.total_seq_lens, self.block_tables)
             return
-        used = -(-int(self.total_seq_lens[batch_idx]) // self.block_size)
-        row = self.block_tables[batch_idx, :used]
+        row = self.block_tables[batch_idx]
         valid = row[row >= 0]
         self.free_blocks[self.num_free_blocks : self.num_free_blocks + valid.size] = valid[::-1]
         self.num_free_blocks += valid.size
-        self.block_tables[batch_idx, :used] = -1
+        self.block_tables[batch_idx, :] = -1
         self.total_seq_lens[batch_idx] = 0
 
     def _build_positions(self, context_kv_lens: np.ndarray, q_lens: np.ndarray) -> np.ndarray:

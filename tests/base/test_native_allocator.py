@@ -122,3 +122,49 @@ def test_session_uses_native_and_matches_fallback(monkeypatch):
     np.testing.assert_array_equal(a.block_tables, b.block_tables)
     np.testing.assert_array_equal(a.total_seq_lens, b.total_seq_lens)
     assert a.free_block_count() == b.free_block_count()
+
+
+def _leak_after_rollback(native: bool):
+    """Rollback (speculative rewind) must not leak blocks on release."""
+    import os
+
+    import numpy as np
+
+    from mojo_opset_tpu.runtime.config import MojoConfig, MojoModelConfig
+    from mojo_opset_tpu.runtime.session import PagedAttentionRuntimeState
+
+    prev = os.environ.get("MOJO_NATIVE")
+    os.environ["MOJO_NATIVE"] = "1" if native else "0"
+    try:
+        cfg = MojoConfig(model_config=MojoModelConfig(
+            model_name="t", hidden_size=32, embed_dim=32, head_dim=16,
+            num_heads=2, num_kv_heads=1, num_layers=1, vocab_size=64,
+            max_position_embeddings=256, dtype="float32"))
+        sess = PagedAttentionRuntimeState(cfg, batch_size=1, block_size=16)
+        if native and sess._native is None:
+            import pytest
+
+            pytest.skip("native allocator unavailable")
+        free0 = sess.free_block_count()
+        for _ in range(10):
+            # grow to 15, reserve 4 (crosses into a 2nd block), rewind to 16
+            sess.total_seq_lens[:] = 0
+            sess._reserve(np.array([15], np.int32))
+            sess._reserve(np.array([4], np.int32))
+            sess.total_seq_lens[:] = np.int32(16)
+            sess.release_sequence(0)
+        assert sess.free_block_count() == free0, (
+            f"leaked {free0 - sess.free_block_count()} blocks after rollbacks")
+    finally:
+        if prev is None:
+            os.environ.pop("MOJO_NATIVE", None)
+        else:
+            os.environ["MOJO_NATIVE"] = prev
+
+
+def test_release_after_rollback_no_leak_numpy():
+    _leak_after_rollback(native=False)
+
+
+def test_release_after_rollback_no_leak_native():
+    _leak_after_rollback(native=True)
