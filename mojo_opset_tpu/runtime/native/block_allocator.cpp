@@ -65,7 +65,13 @@ int32_t mojo_alloc_reserve(Allocator* a, const int32_t* q_lens,
     const int32_t oldb = ceil_div(seq_lens[i], bs);
     const int32_t newb = ceil_div(seq_lens[i] + q_lens[i], bs);
     if (newb > a->max_blocks_per_seq) return -2;  // per-seq table overflow
-    needed += newb - oldb;
+    const int32_t* row =
+        block_tables + static_cast<int64_t>(i) * a->max_blocks_per_seq;
+    for (int32_t b = oldb; b < newb; ++b)
+      // valid entries past the length are blocks this sequence still
+      // owns from a rolled-back reserve (speculative rewind) — they get
+      // reused, not re-allocated (overwriting them would leak)
+      if (row[b] < 0) ++needed;
   }
   if (needed > static_cast<int64_t>(a->free_stack.size())) return -1;
 
@@ -73,12 +79,14 @@ int32_t mojo_alloc_reserve(Allocator* a, const int32_t* q_lens,
     const int32_t oldb = ceil_div(seq_lens[i], bs);
     const int32_t newb = ceil_div(seq_lens[i] + q_lens[i], bs);
     int32_t* row = block_tables + static_cast<int64_t>(i) * a->max_blocks_per_seq;
-    // Hand out the top (newb-oldb) stack entries in ascending stack
-    // order — bit-identical tables to the numpy fallback's tail slice.
-    const size_t start = a->free_stack.size() - (newb - oldb);
-    for (int32_t b = oldb; b < newb; ++b)
-      row[b] = a->free_stack[start + (b - oldb)];
-    a->free_stack.resize(start);
+    // Hand out stack entries one at a time from the tail — bit-identical
+    // tables to the numpy fallback's per-entry pop.
+    for (int32_t b = oldb; b < newb; ++b) {
+      if (row[b] < 0) {
+        row[b] = a->free_stack.back();
+        a->free_stack.pop_back();
+      }
+    }
     context_out[i] = seq_lens[i];
     seq_lens[i] += q_lens[i];
   }

@@ -258,9 +258,12 @@ class PagedAttentionRuntimeState:
             append_len = int(q_lens[batch_idx])
             old_blocks = -(-context_len // self.block_size)
             new_blocks = -(-(context_len + append_len) // self.block_size)
-            if new_blocks > old_blocks:
-                newly = self._allocate_blocks(new_blocks - old_blocks)
-                self.block_tables[batch_idx, old_blocks:new_blocks] = newly
+            for b in range(old_blocks, new_blocks):
+                # a valid entry here is a block this sequence still owns
+                # from a reserve that was rolled back (speculative rewind)
+                # — reuse it instead of dropping it (that would leak)
+                if self.block_tables[batch_idx, b] < 0:
+                    self.block_tables[batch_idx, b] = self._allocate_blocks(1)[0]
         self.total_seq_lens = previous + q_lens
         return previous
 
