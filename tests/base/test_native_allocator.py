@@ -168,3 +168,49 @@ def test_release_after_rollback_no_leak_numpy():
 
 def test_release_after_rollback_no_leak_native():
     _leak_after_rollback(native=True)
+
+
+def _reserve_reuses_after_rollback(native: bool):
+    """Reserve after a rollback must reuse the still-owned entry instead
+    of overwriting it with a fresh block (which would drop the old id)."""
+    import os
+
+    import numpy as np
+
+    from mojo_opset_tpu.runtime.config import MojoConfig, MojoModelConfig
+    from mojo_opset_tpu.runtime.session import PagedAttentionRuntimeState
+
+    prev = os.environ.get("MOJO_NATIVE")
+    os.environ["MOJO_NATIVE"] = "1" if native else "0"
+    try:
+        cfg = MojoConfig(model_config=MojoModelConfig(
+            model_name="t", hidden_size=32, embed_dim=32, head_dim=16,
+            num_heads=2, num_kv_heads=1, num_layers=1, vocab_size=64,
+            max_position_embeddings=256, dtype="float32"))
+        sess = PagedAttentionRuntimeState(cfg, batch_size=1, block_size=16)
+        if native and sess._native is None:
+            import pytest
+
+            pytest.skip("native allocator unavailable")
+        sess._reserve(np.array([15], np.int32))
+        sess._reserve(np.array([4], np.int32))  # crosses into block 2
+        owned = int(sess.block_tables[0, 1])
+        assert owned >= 0
+        sess.total_seq_lens[:] = np.int32(16)  # speculative rewind
+        free_before = sess.free_block_count()
+        sess._reserve(np.array([4], np.int32))  # 16 -> 20, needs block 2
+        assert int(sess.block_tables[0, 1]) == owned, "entry not reused"
+        assert sess.free_block_count() == free_before, "allocated a duplicate"
+    finally:
+        if prev is None:
+            os.environ.pop("MOJO_NATIVE", None)
+        else:
+            os.environ["MOJO_NATIVE"] = prev
+
+
+def test_reserve_reuse_after_rollback_numpy():
+    _reserve_reuses_after_rollback(native=False)
+
+
+def test_reserve_reuse_after_rollback_native():
+    _reserve_reuses_after_rollback(native=True)
