@@ -37,7 +37,8 @@ class ContinuousBatchingGenerator:
     def __init__(self, model, batch_slots: int = 8, block_size: int = 128,
                  max_new_tokens: int = 64, eos_token_id: Optional[int] = None,
                  pad_token_id: int = 0, decode_window: int = 1,
-                 bucket_admits: bool = False):
+                 bucket_admits: bool = False,
+                 max_prefill_chunk: Optional[int] = None):
         self.gm = PagedAttentionGenerationModel(model, block_size=block_size)
         self.B = batch_slots
         self.block_size = block_size
@@ -54,6 +55,14 @@ class ContinuousBatchingGenerator:
         self.bucket_admits = bool(bucket_admits)
         self._scratch = batch_slots if bucket_admits else None
         self._nslots = batch_slots + (1 if bucket_admits else 0)
+        # max_prefill_chunk: admit long prompts in chunks of at most this
+        # many tokens (chunked prefill — the paged ops take
+        # context_kv_lens > 0 with is_prefill, reference
+        # attention.py:315-451). Bounds the latency spike a long prompt
+        # inflicts on decoding neighbours.
+        self.max_prefill_chunk = max_prefill_chunk
+        # per-slot remainder of a partially prefilled prompt
+        self._pending: List[Optional[np.ndarray]] = [None] * self.B
         # decode_window > 1: run w lock-step decode steps inside ONE
         # donated-buffer executable (FusedDecode) between admission
         # checks — amortizes the host-dispatch round trip, the dominant
@@ -85,8 +94,39 @@ class ContinuousBatchingGenerator:
     def _free_slots(self) -> List[int]:
         return [s for s in range(self.B) if self._req_id[s] < 0]
 
+    def _prefill_call(self, q_lens: np.ndarray, chunks: dict) -> np.ndarray:
+        """One mixed varlen prefill; returns per-slot last-token argmax.
+
+        Exact per-slot q_lens: padding a prompt would corrupt causal
+        attention (pads are real tokens to the paged kernels). Without
+        bucket_admits each distinct signature compiles once into the step
+        pool; with it, the TOTAL is padded via the scratch slot so the
+        signature set is bounded by the bucket list."""
+        if self.bucket_admits:
+            from mojo_opset_tpu.runtime.compile_cache import round_up_bucket
+
+            if int(self.session.total_seq_lens[self._scratch]) > 0:
+                self.session.release_sequence(self._scratch)
+            total = int(q_lens.sum())
+            q_lens[self._scratch] = round_up_bucket(total) - total
+            chunks[self._scratch] = np.full(
+                q_lens[self._scratch], self.pad_token_id, np.int32)
+        flat = [chunks[s] for s in range(self._nslots) if q_lens[s]]
+        flat = np.concatenate(flat) if flat else np.empty((0,), np.int32)
+        logits, self.session = self.gm(flat, context_input_len=q_lens,
+                                       session=self.session)
+        # lm_head_indices = cu_q_lens[1:]-1 gives one logits row PER SLOT
+        # (garbage rows for the zero-length ones — never read)
+        return np.asarray(jnp.argmax(logits, -1), np.int32)
+
+    def _start_slot(self, s: int, tok: int) -> None:
+        self._out[s] = [tok]
+        self._cur[s] = tok
+        self._maybe_finish(s, tok)
+
     def _admit(self) -> None:
-        """Fill free slots from the queue with ONE mixed prefill."""
+        """Fill free slots from the queue with ONE mixed prefill (long
+        prompts enter chunked when max_prefill_chunk is set)."""
         slots = self._free_slots()
         if not slots or not self._queue:
             return
@@ -99,41 +139,46 @@ class ContinuousBatchingGenerator:
         if not admitted:
             return
 
-        # exact per-slot q_lens: padding a prompt would corrupt causal
-        # attention (pads are real tokens to the paged kernels). Without
-        # bucket_admits each distinct admit signature compiles once into
-        # the step pool; with it, the TOTAL is padded via the scratch slot
-        # so the signature set is bounded by the bucket list.
         q_lens = np.zeros(self._nslots, np.int32)
-        chunks = {s: ids for s, _, ids in admitted}
+        chunks = {}
         for s, _, ids in admitted:
             if int(self.session.total_seq_lens[s]) > 0:
                 # reclaim a parked slot's blocks before reuse
                 self.session.release_sequence(s)
-            q_lens[s] = ids.size
-        if self.bucket_admits:
-            from mojo_opset_tpu.runtime.compile_cache import round_up_bucket
-
-            if int(self.session.total_seq_lens[self._scratch]) > 0:
-                self.session.release_sequence(self._scratch)
-            total = int(q_lens.sum())
-            q_lens[self._scratch] = round_up_bucket(total) - total
-            chunks[self._scratch] = np.full(
-                q_lens[self._scratch], self.pad_token_id, np.int32)
-        flat = [chunks[s] for s in range(self._nslots) if q_lens[s]]
-        flat = np.concatenate(flat) if flat else np.empty((0,), np.int32)
-
-        logits, self.session = self.gm(flat, context_input_len=q_lens,
-                                       session=self.session)
-        first = np.asarray(jnp.argmax(logits, -1), np.int32)
-        # lm_head_indices = cu_q_lens[1:]-1 gives one logits row PER SLOT
-        # (garbage rows for the zero-length ones — never read)
+            c = self.max_prefill_chunk
+            if c is not None and ids.size > c:
+                chunks[s], self._pending[s] = ids[:c], ids[c:]
+            else:
+                chunks[s], self._pending[s] = ids, None
+            q_lens[s] = chunks[s].size
+        first = self._prefill_call(q_lens, chunks)
         for s, rid, _ids in admitted:
             self._req_id[s] = rid
-            tok = int(first[s])
-            self._out[s] = [tok]
-            self._cur[s] = tok
-            self._maybe_finish(s, tok)
+            if self._pending[s] is None:
+                self._start_slot(s, int(first[s]))
+
+    def _continue_prefill(self) -> bool:
+        """Advance partially prefilled prompts by one chunk; True if any
+        slot is still (or was) mid-prefill this iteration."""
+        pend = [s for s in range(self.B) if self._pending[s] is not None]
+        if not pend:
+            return False
+        q_lens = np.zeros(self._nslots, np.int32)
+        chunks = {}
+        completing = []
+        c = self.max_prefill_chunk
+        for s in pend:
+            ids = self._pending[s]
+            if ids.size > c:
+                chunks[s], self._pending[s] = ids[:c], ids[c:]
+            else:
+                chunks[s], self._pending[s] = ids, None
+                completing.append(s)
+            q_lens[s] = chunks[s].size
+        first = self._prefill_call(q_lens, chunks)
+        for s in completing:
+            self._start_slot(s, int(first[s]))
+        return True
 
     def _maybe_finish(self, s: int, tok: int) -> None:
         done = len(self._out[s]) >= self.max_new_tokens or (
@@ -161,6 +206,8 @@ class ContinuousBatchingGenerator:
 
         while self._queue or self._active():
             self._admit()
+            if self._continue_prefill():
+                continue  # no decode while any slot is mid-prefill
             if not self._active():
                 continue
             if self._fused is not None:
@@ -204,6 +251,9 @@ class SpeculativeContinuousBatchingGenerator(ContinuousBatchingGenerator):
         kw.pop("decode_window", None)  # the spec round IS the fused window
         assert not kw.pop("bucket_admits", False), (
             "bucket_admits is not supported with speculative rounds yet"
+        )
+        assert kw.pop("max_prefill_chunk", None) is None, (
+            "chunked-prefill admission is not supported with speculative rounds yet"
         )
         super().__init__(model, **kw)
         from mojo_opset_tpu.runtime.speculative import SpeculativeDecoder

@@ -165,3 +165,33 @@ def test_bucketed_admits_match_standalone(model):
     # decode signature + a handful of bucketed prefill signatures
     n_sigs = len(gen.gm._runner_memo)
     assert n_sigs <= 4, f"too many compiled signatures: {n_sigs}"
+
+
+def test_chunked_prefill_admission_matches_standalone(model):
+    """max_prefill_chunk splits long prompts across several chunked
+    prefill passes (context_kv_lens > 0 with is_prefill); streams must be
+    identical to whole-prompt admission."""
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(1, 256, (int(n),)).astype(np.int32)
+               for n in (23, 4, 17, 9)]
+    steps = 5
+    gen = ContinuousBatchingGenerator(model, batch_slots=2, block_size=16,
+                                      max_new_tokens=steps, max_prefill_chunk=8)
+    rids = [gen.submit(p) for p in prompts]
+    results = gen.run()
+    for rid, p in zip(rids, prompts):
+        np.testing.assert_array_equal(results[rid], _standalone(model, p, steps),
+                                      err_msg=f"request {rid} diverged (chunked prefill)")
+
+
+def test_chunked_prefill_with_buckets(model):
+    rng = np.random.default_rng(12)
+    prompts = [rng.integers(1, 256, (int(n),)).astype(np.int32) for n in (19, 6)]
+    steps = 4
+    gen = ContinuousBatchingGenerator(model, batch_slots=2, block_size=16,
+                                      max_new_tokens=steps, max_prefill_chunk=8,
+                                      bucket_admits=True)
+    rids = [gen.submit(p) for p in prompts]
+    results = gen.run()
+    for rid, p in zip(rids, prompts):
+        np.testing.assert_array_equal(results[rid], _standalone(model, p, steps))
