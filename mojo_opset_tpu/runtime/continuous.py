@@ -38,7 +38,8 @@ class ContinuousBatchingGenerator:
                  max_new_tokens: int = 64, eos_token_id: Optional[int] = None,
                  pad_token_id: int = 0, decode_window: int = 1,
                  bucket_admits: bool = False,
-                 max_prefill_chunk: Optional[int] = None):
+                 max_prefill_chunk: Optional[int] = None,
+                 sampler=None, seed: int = 0):
         self.gm = PagedAttentionGenerationModel(model, block_size=block_size)
         self.B = batch_slots
         self.block_size = block_size
@@ -63,6 +64,13 @@ class ContinuousBatchingGenerator:
         self.max_prefill_chunk = max_prefill_chunk
         # per-slot remainder of a partially prefilled prompt
         self._pending: List[Optional[np.ndarray]] = [None] * self.B
+        # sampler: any MojoSampler (generation.py); greedy argmax when None.
+        # (decode_window fuses greedy sampling into the scan — samplers
+        # take the step-by-step path)
+        self.sampler = sampler
+        self._key = jax.random.PRNGKey(seed)
+        if sampler is not None and decode_window > 1:
+            raise ValueError("decode_window > 1 currently implies greedy sampling")
         # decode_window > 1: run w lock-step decode steps inside ONE
         # donated-buffer executable (FusedDecode) between admission
         # checks — amortizes the host-dispatch round trip, the dominant
@@ -117,7 +125,13 @@ class ContinuousBatchingGenerator:
                                        session=self.session)
         # lm_head_indices = cu_q_lens[1:]-1 gives one logits row PER SLOT
         # (garbage rows for the zero-length ones — never read)
-        return np.asarray(jnp.argmax(logits, -1), np.int32)
+        return self._sample(logits)
+
+    def _sample(self, logits) -> np.ndarray:
+        if self.sampler is None:
+            return np.asarray(jnp.argmax(logits, -1), np.int32)
+        self._key, sub = jax.random.split(self._key)
+        return np.asarray(self.sampler(logits, key=sub), np.int32)
 
     def _start_slot(self, s: int, tok: int) -> None:
         self._out[s] = [tok]
@@ -231,7 +245,7 @@ class ContinuousBatchingGenerator:
             # lock-step decode: parked slots feed pad tokens into slot-
             # local garbage that admission reclaims via release_sequence
             logits, self.session = self.gm(self._cur, session=self.session)
-            toks = np.asarray(jnp.argmax(logits, -1), np.int32)
+            toks = self._sample(logits)
             for s in self._active():
                 tok = int(toks[s])
                 self._out[s].append(tok)

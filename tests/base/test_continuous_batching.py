@@ -195,3 +195,25 @@ def test_chunked_prefill_with_buckets(model):
     results = gen.run()
     for rid, p in zip(rids, prompts):
         np.testing.assert_array_equal(results[rid], _standalone(model, p, steps))
+
+
+def test_sampler_support_deterministic(model):
+    """TopK sampling in the batcher: seeded, deterministic, in-vocab."""
+    from mojo_opset_tpu.runtime import TopKSampler
+
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(1, 256, (int(n),)).astype(np.int32) for n in (5, 8, 4)]
+
+    def run():
+        gen = ContinuousBatchingGenerator(
+            model, batch_slots=2, block_size=16, max_new_tokens=5,
+            sampler=TopKSampler(10), seed=42,
+        )
+        rids = [gen.submit(p) for p in prompts]
+        results = gen.run()
+        return [results[r] for r in rids]
+
+    a, b = run(), run()
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+        assert ((0 <= x) & (x < 256)).all()
