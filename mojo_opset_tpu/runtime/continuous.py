@@ -39,7 +39,8 @@ class ContinuousBatchingGenerator:
                  pad_token_id: int = 0, decode_window: int = 1,
                  bucket_admits: bool = False,
                  max_prefill_chunk: Optional[int] = None,
-                 sampler=None, seed: int = 0):
+                 sampler=None, seed: int = 0,
+                 prefix_cache_blocks: int = 0):
         self.gm = PagedAttentionGenerationModel(model, block_size=block_size)
         self.B = batch_slots
         self.block_size = block_size
@@ -71,6 +72,23 @@ class ContinuousBatchingGenerator:
         self._key = jax.random.PRNGKey(seed)
         if sampler is not None and decode_window > 1:
             raise ValueError("decode_window > 1 currently implies greedy sampling")
+        # Automatic prefix caching: when a request completes, the KV
+        # blocks fully covered by its PROMPT are donated to a host-side
+        # cache keyed by the prompt-token prefix; a later request with a
+        # matching block-aligned prefix points its block table at the
+        # shared (read-only) blocks and prefills only the suffix — the
+        # chunked-prefill contract (context_kv_lens > 0) does the rest.
+        # Cache-owned blocks are withheld from the allocator pool up to
+        # ``prefix_cache_blocks`` total; 0 disables. Requires greedy
+        # sampling (a sampled stream conditioned on a cached prefix is
+        # still correct, but cache hits then depend on sampler state —
+        # keep it simple and exact).
+        self.prefix_cache_blocks = int(prefix_cache_blocks)
+        self._prefix_cache: dict = {}  # key: prompt-prefix bytes -> np block ids
+        self._prefix_block_ids: set = set()  # cache-owned (withheld from pool)
+        self._prefix_owned = 0
+        self._slot_shared_blocks: List[int] = [0] * self.B  # leading shared count
+        self._slot_prompt: List[Optional[np.ndarray]] = [None] * self.B
         # decode_window > 1: run w lock-step decode steps inside ONE
         # donated-buffer executable (FusedDecode) between admission
         # checks — amortizes the host-dispatch round trip, the dominant
@@ -158,7 +176,17 @@ class ContinuousBatchingGenerator:
         for s, _, ids in admitted:
             if int(self.session.total_seq_lens[s]) > 0:
                 # reclaim a parked slot's blocks before reuse
-                self.session.release_sequence(s)
+                self._release_slot(s)
+            self._slot_prompt[s] = ids
+            n_tok, shared_ids = self._prefix_lookup(ids)
+            if n_tok:
+                # point the table head at the shared (read-only) blocks
+                # and prefill only the suffix from context = n_tok
+                nb = n_tok // self.session.block_size
+                self.session.block_tables[s, :nb] = shared_ids[:nb]
+                self.session.total_seq_lens[s] = n_tok
+                self._slot_shared_blocks[s] = nb
+                ids = ids[n_tok:]
             c = self.max_prefill_chunk
             if c is not None and ids.size > c:
                 chunks[s], self._pending[s] = ids[:c], ids[c:]
@@ -194,6 +222,58 @@ class ContinuousBatchingGenerator:
             self._start_slot(s, int(first[s]))
         return True
 
+    # -- prefix caching -------------------------------------------------------
+    def _prefix_lookup(self, prompt: np.ndarray):
+        """Longest cached block-aligned PROPER prefix (suffix stays >= 1
+        token so the admit prefill still produces logits)."""
+        if not self.prefix_cache_blocks or self.session is None:
+            return 0, None
+        bs = self.session.block_size
+        n = (int(prompt.size) - 1) // bs * bs
+        while n >= bs:
+            hit = self._prefix_cache.get(prompt[:n].tobytes())
+            if hit is not None:
+                return n, hit
+            n -= bs
+        return 0, None
+
+    def _prefix_donate(self, s: int) -> None:
+        """Donate a finished slot's full prompt blocks to the cache (they
+        are withheld from the pool; the KV content stays on device)."""
+        if not self.prefix_cache_blocks:
+            return
+        prompt = self._slot_prompt[s]
+        if prompt is None or self._pending[s] is not None:
+            return
+        bs = self.session.block_size
+        n_full = int(prompt.size) // bs
+        shared = self._slot_shared_blocks[s]
+        if n_full <= shared:
+            return  # nothing beyond the already-cached head
+        row = self.session.block_tables[s]
+        new_ids = [int(row[b]) for b in range(shared, n_full)]
+        if any(i < 0 for i in new_ids):
+            return
+        if self._prefix_owned + len(new_ids) > self.prefix_cache_blocks:
+            return  # budget exhausted; keep serving uncached
+        chain = [int(row[b]) for b in range(shared)] + new_ids
+        for nb in range(shared + 1, n_full + 1):
+            self._prefix_cache.setdefault(
+                prompt[: nb * bs].tobytes(), np.asarray(chain[:nb], np.int32))
+        self._prefix_block_ids.update(new_ids)
+        self._prefix_owned += len(new_ids)
+
+    def _release_slot(self, s: int) -> None:
+        """Release a REAL slot: scrub cache-owned block ids from the row
+        first so release_sequence only frees blocks the slot owns."""
+        if self._prefix_block_ids:
+            row = self.session.block_tables[s]
+            mask = np.isin(row, np.fromiter(self._prefix_block_ids, np.int32))
+            row[mask] = -1
+        self.session.release_sequence(s)
+        self._slot_shared_blocks[s] = 0
+        self._slot_prompt[s] = None
+
     def _maybe_finish(self, s: int, tok: int) -> None:
         done = len(self._out[s]) >= self.max_new_tokens or (
             self.eos_token_id is not None and tok == self.eos_token_id
@@ -202,7 +282,8 @@ class ContinuousBatchingGenerator:
             self._results[self._req_id[s]] = np.asarray(self._out[s], np.int32)
             self._req_id[s] = -1
             self._out[s] = []
-            self.session.release_sequence(s)
+            self._prefix_donate(s)
+            self._release_slot(s)
             self._cur[s] = self.pad_token_id
 
     def _active(self) -> List[int]:
@@ -268,6 +349,9 @@ class SpeculativeContinuousBatchingGenerator(ContinuousBatchingGenerator):
         )
         assert kw.pop("max_prefill_chunk", None) is None, (
             "chunked-prefill admission is not supported with speculative rounds yet"
+        )
+        assert not kw.pop("prefix_cache_blocks", 0), (
+            "prefix caching is not supported with speculative rounds yet"
         )
         super().__init__(model, **kw)
         from mojo_opset_tpu.runtime.speculative import SpeculativeDecoder

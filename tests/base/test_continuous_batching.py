@@ -217,3 +217,44 @@ def test_sampler_support_deterministic(model):
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
         assert ((0 <= x) & (x < 256)).all()
+
+
+def test_prefix_cache_hits_and_stays_exact(model):
+    """Automatic prefix caching: a repeated prompt reuses the cached
+    prefix blocks (suffix-only prefill) and the stream stays exact."""
+    rng = np.random.default_rng(21)
+    base = rng.integers(1, 256, (37,)).astype(np.int32)
+    # three requests sharing a 32-token (2-block) prefix + one unrelated
+    p0 = base.copy()
+    p1 = np.concatenate([base[:33], rng.integers(1, 256, (6,)).astype(np.int32)])
+    p2 = base[:35].copy()
+    p3 = rng.integers(1, 256, (20,)).astype(np.int32)
+    steps = 5
+
+    gen = ContinuousBatchingGenerator(model, batch_slots=1, block_size=16,
+                                      max_new_tokens=steps, prefix_cache_blocks=8)
+    r0 = gen.submit(p0)
+    results0 = gen.run()  # p0 completes, donates floor(37/16)=2 blocks
+    assert gen._prefix_owned == 2
+
+    rids = [gen.submit(p) for p in (p1, p2, p3)]
+    results = gen.run()
+    results.update(results0)
+    for rid, p in zip([r0] + rids, (p0, p1, p2, p3)):
+        np.testing.assert_array_equal(results[rid], _standalone(model, p, steps),
+                                      err_msg=f"request {rid} diverged (prefix cache)")
+    # p1/p2 hit the 2-block prefix; lookups never exceed the budget
+    assert gen._prefix_owned <= 8
+    # the cached blocks survived every release (withheld from the pool)
+    assert len(gen._prefix_block_ids) == gen._prefix_owned
+
+
+def test_prefix_cache_budget_respected(model):
+    rng = np.random.default_rng(22)
+    gen = ContinuousBatchingGenerator(model, batch_slots=1, block_size=16,
+                                      max_new_tokens=3, prefix_cache_blocks=2)
+    # each distinct 37-token prompt would donate 2 blocks; budget caps at 2
+    for i in range(3):
+        gen.submit(rng.integers(1, 256, (37,)).astype(np.int32))
+    gen.run()
+    assert gen._prefix_owned <= 2
