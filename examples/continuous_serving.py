@@ -28,6 +28,8 @@ def main():
     p.add_argument("--max-new-tokens", type=int, default=16)
     p.add_argument("--decode-window", type=int, default=1)
     p.add_argument("--bucket-admits", action="store_true")
+    p.add_argument("--max-prefill-chunk", type=int, default=None)
+    p.add_argument("--prefix-cache-blocks", type=int, default=0)
     p.add_argument("--speculative", type=int, default=0, metavar="K",
                    help="speculative rounds with the w8a8 self-draft")
     p.add_argument("--block-size", type=int, default=32)
@@ -58,6 +60,8 @@ def main():
             model, batch_slots=args.slots, block_size=args.block_size,
             max_new_tokens=args.max_new_tokens,
             decode_window=args.decode_window, bucket_admits=args.bucket_admits,
+            max_prefill_chunk=args.max_prefill_chunk,
+            prefix_cache_blocks=args.prefix_cache_blocks,
         )
 
     rng = np.random.default_rng(0)
