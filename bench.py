@@ -306,6 +306,7 @@ def bench_qwen3_speculative(rec: dict):
 
 
 def main():
+    t0 = time.perf_counter()
     devices = _probe_devices_or_cpu()
     us, impl = bench_paged_decode_gqa()
     rec = {
@@ -320,18 +321,22 @@ def main():
     }
     if TPU_UNREACHABLE:
         rec["tpu_unreachable"] = True
-    try:
-        bench_qwen3_e2e(rec)
-    except Exception as exc:  # never lose the headline metric
-        rec["qwen3_e2e_error"] = repr(exc)[:200]
-    try:
-        bench_qwen3_int8_serving(rec)
-    except Exception as exc:
-        rec["qwen3_int8_error"] = repr(exc)[:200]
-    try:
-        bench_qwen3_speculative(rec)
-    except Exception as exc:
-        rec["qwen3_spec_error"] = repr(exc)[:200]
+
+    # Optional phases under a wall budget: a cold compile cache could
+    # otherwise push past the driver's timeout and lose the JSON line.
+    budget_s = float(__import__("os").environ.get("MOJO_BENCH_BUDGET_S", 2400))
+    for name, phase in (
+        ("qwen3_e2e", bench_qwen3_e2e),
+        ("qwen3_int8", bench_qwen3_int8_serving),
+        ("qwen3_spec", bench_qwen3_speculative),
+    ):
+        if time.perf_counter() - t0 > budget_s:
+            rec[f"{name}_skipped"] = "wall budget"
+            continue
+        try:
+            phase(rec)
+        except Exception as exc:  # never lose the headline metric
+            rec[f"{name}_error"] = repr(exc)[:200]
     print(json.dumps(rec))
 
 
