@@ -495,9 +495,19 @@ class FusedDecode:
 
         import functools
 
-        fn = functools.partial(self._pool._step_fn, n_steps=n_steps)
-        sig = ("fused", n_steps, self._pool.signature(self.model, first, session.caches))
+        # cheap key: model is fixed per FusedDecode instance, so only the
+        # step count / batch / cache signature matter — a full pytree walk
+        # of a 4B-param model costs ~1-5 ms and would serialize with
+        # dispatch on every fused window
+        sig = (
+            n_steps,
+            int(first.shape[0]),
+            int(bt.shape[1]),
+            tuple((tuple(k.shape), str(k.dtype)) for k in session.caches.keys),
+            tuple(session.caches.slot_of_layer),
+        )
         if sig not in self._n_steps_cache:
+            fn = functools.partial(self._pool._step_fn, n_steps=n_steps)
             self._n_steps_cache[sig] = jax.jit(fn, donate_argnums=(2,))
         toks, new_caches = self._n_steps_cache[sig](
             self.model, first, session.caches, lens0_j, bt, key
