@@ -89,6 +89,17 @@ class SpeculativeDecoder:
 
         self._draft_pool = CompiledStepPool(_draft_round, donate_argnums=(2,),
                                             static_argnums=(5,))
+        # cheap-key memos in front of the pools: models are fixed per
+        # decoder instance, so only batch/cache/table shapes matter — a
+        # full pytree walk of a 4B model costs ~1-5 ms per round
+        self._runner_memo = {}
+
+    @staticmethod
+    def _cache_sig(caches):
+        return (
+            tuple((tuple(k.shape), str(k.dtype)) for k in caches.keys),
+            tuple(caches.slot_of_layer),
+        )
 
     # -- session plumbing --------------------------------------------------
     def new_sessions(self, batch_size: int):
@@ -139,8 +150,12 @@ class SpeculativeDecoder:
         dsess._reserve(np.full(B, k + 1, np.int32))
         bt = jnp.asarray(dsess.block_tables, jnp.int32)
         l0 = jnp.asarray(lens0, jnp.int32)
-        runner = self._draft_pool.get_runner(
-            self.draft, cur_tokens, dsess.caches, l0, bt, k)
+        dkey = ("draft", k, B, int(bt.shape[1]), self._cache_sig(dsess.caches))
+        runner = self._runner_memo.get(dkey)
+        if runner is None:
+            runner = self._draft_pool.get_runner(
+                self.draft, cur_tokens, dsess.caches, l0, bt, k)
+            self._runner_memo[dkey] = runner
         d_toks, d_ps, dsess.caches = runner(
             self.draft, cur_tokens, dsess.caches, l0, bt, k)
         d_toks = jnp.swapaxes(d_toks, 0, 1)  # (B, k)
@@ -152,7 +167,12 @@ class SpeculativeDecoder:
         window = np.concatenate([cur_np, d_np], axis=1)  # (B, k+1)
         ids, pos, meta = tsess.prepare_prefill_inputs(
             window.reshape(-1), np.full(B, k + 1, np.int32))
-        vrunner = self._verify_pool.get_runner(self.target, ids, pos, meta, tsess.caches)
+        vkey = ("verify", k, B, int(meta.block_tables.shape[1]),
+                self._cache_sig(tsess.caches))
+        vrunner = self._runner_memo.get(vkey)
+        if vrunner is None:
+            vrunner = self._verify_pool.get_runner(self.target, ids, pos, meta, tsess.caches)
+            self._runner_memo[vkey] = vrunner
         logits, tsess.caches = vrunner(self.target, ids, pos, meta, tsess.caches)
         logits = logits.reshape(B, k + 1, -1)  # (B, k+1, V)
 
