@@ -111,9 +111,14 @@ class ContinuousBatchingGenerator:
         self._results = {}
 
     def submit(self, ids: Sequence[int]) -> int:
+        ids = np.asarray(ids, np.int32).reshape(-1)
+        if ids.size == 0:
+            # a zero-length admission would read another slot's logits row
+            # (lm_head_indices = cu_q_lens[i+1]-1 aliases the neighbour)
+            raise ValueError("empty prompt")
         rid = self._next_id
         self._next_id += 1
-        self._queue.append((rid, np.asarray(ids, np.int32).reshape(-1)))
+        self._queue.append((rid, ids))
         return rid
 
     # -- internals -----------------------------------------------------------
@@ -223,19 +228,30 @@ class ContinuousBatchingGenerator:
         return True
 
     # -- prefix caching -------------------------------------------------------
+    def _longest_cached(self, prompt: np.ndarray, n_max: int):
+        """Longest cached block-aligned prefix <= n_max tokens.
+
+        The key set is downward-closed (donation inserts every shorter
+        full-block prefix), so an ASCENDING scan that stops at the first
+        miss is exact and hashes O(hit) bytes instead of O(n^2) on a miss."""
+        bs = self.session.block_size
+        n, hit = 0, None
+        m = bs
+        while m <= n_max:
+            h = self._prefix_cache.get(prompt[:m].tobytes())
+            if h is None:
+                break
+            n, hit = m, h
+            m += bs
+        return n, hit
+
     def _prefix_lookup(self, prompt: np.ndarray):
         """Longest cached block-aligned PROPER prefix (suffix stays >= 1
         token so the admit prefill still produces logits)."""
         if not self.prefix_cache_blocks or self.session is None:
             return 0, None
         bs = self.session.block_size
-        n = (int(prompt.size) - 1) // bs * bs
-        while n >= bs:
-            hit = self._prefix_cache.get(prompt[:n].tobytes())
-            if hit is not None:
-                return n, hit
-            n -= bs
-        return 0, None
+        return self._longest_cached(prompt, (int(prompt.size) - 1) // bs * bs)
 
     def _prefix_donate(self, s: int) -> None:
         """Donate a finished slot's full prompt blocks to the cache (they
@@ -247,19 +263,26 @@ class ContinuousBatchingGenerator:
             return
         bs = self.session.block_size
         n_full = int(prompt.size) // bs
-        shared = self._slot_shared_blocks[s]
-        if n_full <= shared:
-            return  # nothing beyond the already-cached head
+        # re-check what is cached NOW: another request with the same
+        # prompt may have donated since this slot was admitted. Donating
+        # duplicate-content blocks would withhold them from the pool
+        # while no cache entry references them — a permanent leak.
+        m_tok, head = self._longest_cached(prompt, n_full * bs)
+        m = m_tok // bs
+        if n_full <= m:
+            return  # fully cached already; this slot's blocks get freed
         row = self.session.block_tables[s]
-        new_ids = [int(row[b]) for b in range(shared, n_full)]
+        new_ids = [int(row[b]) for b in range(m, n_full)]
         if any(i < 0 for i in new_ids):
             return
         if self._prefix_owned + len(new_ids) > self.prefix_cache_blocks:
             return  # budget exhausted; keep serving uncached
-        chain = [int(row[b]) for b in range(shared)] + new_ids
-        for nb in range(shared + 1, n_full + 1):
-            self._prefix_cache.setdefault(
-                prompt[: nb * bs].tobytes(), np.asarray(chain[:nb], np.int32))
+        # chain head uses the CACHED ids (this slot's own head blocks up
+        # to m are duplicates and must be released with the slot)
+        chain = ([int(b) for b in head[:m]] if head is not None else []) + new_ids
+        for nb in range(m + 1, n_full + 1):
+            self._prefix_cache[prompt[: nb * bs].tobytes()] = np.asarray(
+                chain[:nb], np.int32)
         self._prefix_block_ids.update(new_ids)
         self._prefix_owned += len(new_ids)
 
@@ -344,15 +367,19 @@ class SpeculativeContinuousBatchingGenerator(ContinuousBatchingGenerator):
 
     def __init__(self, model, draft_model, speculative_k: int = 4, **kw):
         kw.pop("decode_window", None)  # the spec round IS the fused window
-        assert not kw.pop("bucket_admits", False), (
-            "bucket_admits is not supported with speculative rounds yet"
-        )
-        assert kw.pop("max_prefill_chunk", None) is None, (
-            "chunked-prefill admission is not supported with speculative rounds yet"
-        )
-        assert not kw.pop("prefix_cache_blocks", 0), (
-            "prefix caching is not supported with speculative rounds yet"
-        )
+        # explicit raises (not asserts: kw.pop side effects must survive
+        # python -O, or the unsupported kwargs would silently reach the
+        # base class and corrupt the slot-count plumbing)
+        if kw.pop("bucket_admits", False):
+            raise ValueError("bucket_admits is not supported with speculative rounds yet")
+        if kw.pop("max_prefill_chunk", None) is not None:
+            raise ValueError("chunked-prefill admission is not supported with "
+                             "speculative rounds yet")
+        if kw.pop("prefix_cache_blocks", 0):
+            raise ValueError("prefix caching is not supported with speculative rounds yet")
+        if kw.get("sampler") is not None:
+            raise ValueError("speculative rounds are greedy-only; a sampler would be "
+                             "silently ignored")
         super().__init__(model, **kw)
         from mojo_opset_tpu.runtime.speculative import SpeculativeDecoder
 
@@ -392,9 +419,10 @@ class SpeculativeContinuousBatchingGenerator(ContinuousBatchingGenerator):
         q_lens = np.zeros(self.B, np.int32)
         chunks = {s: ids for s, _, ids in admitted}
         for s, _, ids in admitted:
-            for sess in (self.session, self.dsession):
-                if int(sess.total_seq_lens[s]) > 0:
-                    sess.release_sequence(s)
+            if int(self.session.total_seq_lens[s]) > 0:
+                self._release_slot(s)  # base bookkeeping (scrub + state reset)
+            if int(self.dsession.total_seq_lens[s]) > 0:
+                self.dsession.release_sequence(s)
             q_lens[s] = ids.size
         flat = [chunks[s] for s in range(self.B) if q_lens[s]]
         flat = np.concatenate(flat) if flat else np.empty((0,), np.int32)

@@ -208,7 +208,11 @@ class PagedAttentionRuntimeState:
         self.kv_layout = getattr(mc, "kv_layout", "HND") or "HND"
         if getattr(mc, "kv_cache_quant", False):
             self.dtype = jnp.int8
-            self.kv_layout = "HND"  # the C8 store/dequant contract layout
+        if jnp.dtype(self.dtype) == jnp.int8:
+            # the C8 store/dequant contract layout — also covers an int8
+            # dtype passed directly: KVCaches.create derives the (Hkv, D)
+            # channel-scale shape from HND cache dims
+            self.kv_layout = "HND"
         if self.kv_layout == "NHD":
             # TPU-native layout: token rows contiguous -> in-place stores
             cache_shape = (total_blocks, block_size, self.num_kv_heads, self.head_dim)

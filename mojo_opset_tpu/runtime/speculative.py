@@ -15,8 +15,11 @@ Modes:
     prefix. LOSSLESS: the emitted stream is bit-identical to vanilla
     greedy decoding of the target model (tested).
   * ``reject`` — stochastic acceptance via ``MojoRejectSampling``
-    (target_p/draft_p >= u), correction token sampled from the target
-    distribution at the first rejected position.
+    (target_p/draft_p >= u — the reference op's SIMPLIFIED contract,
+    sampling.py:209-253, not full residual-corrected speculative
+    sampling), correction token sampled from the target distribution at
+    the first rejected position; proposals are the draft's greedy stream
+    with their softmax probabilities as draft_p.
 """
 
 from __future__ import annotations
@@ -215,6 +218,10 @@ class SpeculativeDecoder:
         MojoGenerator's masking — generation.py EOS handling)."""
         q_lens = np.asarray(q_lens, np.int32)
         B = q_lens.size
+        if self.mode == "reject" and key is None:
+            # each round must draw fresh acceptance/correction randomness;
+            # without a seed every round would reuse PRNGKey(0)
+            key = jax.random.PRNGKey(0)
         sessions = self.new_sessions(B)
         cur = self.prefill(sessions, input_ids, q_lens)
 

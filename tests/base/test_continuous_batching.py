@@ -258,3 +258,42 @@ def test_prefix_cache_budget_respected(model):
         gen.submit(rng.integers(1, 256, (37,)).astype(np.int32))
     gen.run()
     assert gen._prefix_owned <= 2
+
+
+def test_prefix_cache_duplicate_prompts_do_not_leak(model):
+    """Two in-flight requests with the SAME prompt: the second finisher
+    must not withhold duplicate-content blocks from the pool (they would
+    be scrubbed at release yet unreachable from the cache)."""
+    rng = np.random.default_rng(31)
+    prompt = rng.integers(1, 256, (37,)).astype(np.int32)  # 2 full blocks
+    gen = ContinuousBatchingGenerator(model, batch_slots=2, block_size=16,
+                                      max_new_tokens=3, prefix_cache_blocks=16)
+    for _ in range(2):  # both admitted together -> both miss the cache
+        gen.submit(prompt)
+    gen.run()
+    free_after_first = gen.session.free_block_count()
+    assert gen._prefix_owned == 2  # exactly one donation
+    # repeat the duplicate pair: pool usage must be stable (no drain)
+    for _ in range(2):
+        gen.submit(prompt)
+    gen.run()
+    assert gen._prefix_owned == 2
+    assert gen.session.free_block_count() == free_after_first, "pool drained"
+
+
+def test_empty_prompt_rejected(model):
+    gen = ContinuousBatchingGenerator(model, batch_slots=1, block_size=16)
+    with pytest.raises(ValueError, match="empty prompt"):
+        gen.submit(np.array([], np.int32))
+
+
+def test_spec_batcher_rejects_sampler(model):
+    from mojo_opset_tpu.modeling.qwen3 import quantize_qwen3
+    from mojo_opset_tpu.runtime import TopKSampler
+    from mojo_opset_tpu.runtime.continuous import SpeculativeContinuousBatchingGenerator
+
+    with pytest.raises(ValueError, match="greedy-only"):
+        SpeculativeContinuousBatchingGenerator(
+            model, quantize_qwen3(model), batch_slots=1, block_size=16,
+            sampler=TopKSampler(5),
+        )
