@@ -241,8 +241,10 @@ class DeepseekV3Attention(Module):
             kv_lora_rank=c.kv_lora_rank,
         )
         # the decompression weight (kv_b_proj) lives inside the MLA ops
-        # (reference experimental/operators/attention.py:73-76); share one
-        # array between prefill and decode
+        # (reference experimental/operators/attention.py:73-76). The two
+        # ops hold SEPARATE pytree leaves initialized identically (same
+        # key); anything that sets one (checkpoint loaders, quantizers)
+        # must set BOTH — see utils/hf.py's DeepSeek converter.
         self.attn_prefill = MojoPagedPrefillMLA(**mla_kw, key=ks[4])
         self.attn_decode = MojoPagedDecodeMLA(**mla_kw, key=ks[4])
         self.scaling = self.qk_head_dim ** (-0.5)

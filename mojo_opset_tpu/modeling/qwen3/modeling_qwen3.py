@@ -164,14 +164,20 @@ class Qwen3Attention(Module):
         if self.quant_kv:
             ks, vs = caches.key_scale(layer_idx), caches.value_scale(layer_idx)
             if meta.is_prefill:
-                # self-calibrate the per-channel scales from the prefill
-                # tokens (+25% headroom so decode tokens rarely clip)
-                ks = jnp.maximum(
-                    ks, jnp.max(jnp.abs(k.astype(jnp.float32)), axis=0) / 127.0 * 1.25)
-                vs = jnp.maximum(
-                    vs, jnp.max(jnp.abs(v.astype(jnp.float32)), axis=0) / 127.0 * 1.25)
-                ks = jnp.maximum(ks, 1e-6)
-                vs = jnp.maximum(vs, 1e-6)
+                # self-calibrate the per-channel scales from the FIRST
+                # prefill (+25% headroom), then FREEZE them: cached int8
+                # was quantized under the current scales, so growing them
+                # later would retroactively inflate every stored K/V
+                # (chunked prefill / continuous batching share one cache).
+                # Later out-of-range tokens clip at +-127 — bounded error,
+                # the standard static-quant contract.
+                calibrated = jnp.max(ks) > 0
+                cand_ks = jnp.maximum(
+                    jnp.max(jnp.abs(k.astype(jnp.float32)), axis=0) / 127.0 * 1.25, 1e-6)
+                cand_vs = jnp.maximum(
+                    jnp.max(jnp.abs(v.astype(jnp.float32)), axis=0) / 127.0 * 1.25, 1e-6)
+                ks = jnp.where(calibrated, ks, cand_ks)
+                vs = jnp.where(calibrated, vs, cand_vs)
                 caches = caches.update_scales(layer_idx, ks, vs)
             key_cache, value_cache = self.store_kv(
                 k, v, key_cache, value_cache, ks, vs,
@@ -240,6 +246,11 @@ class Qwen3MLP(Module):
     def __init__(self, config: Qwen3Config, key: jax.Array):
         c = config
         ks = jax.random.split(key, 3)
+        if c.quant == "w4a8":
+            raise NotImplementedError(
+                "w4a8 packs int4 into MoE experts only (Qwen3MoeConfig); "
+                "dense Qwen3 serving supports quant='w8a8'"
+            )
         self.quant = c.quant == "w8a8"
         if self.quant:
             mk = lambda k, n: MojoQuantGemm(k, n, output_dtype=c.dtype, trans_weight=True)
@@ -313,6 +324,11 @@ class Qwen3Model(Module):
 
     def dense_forward(self, input_ids: jax.Array) -> jax.Array:
         """Training forward: full causal attention over padded (B, S) ids."""
+        if any(getattr(l.self_attn, "quant", False) for l in self.layers):
+            raise NotImplementedError(
+                "serving-mode (quant) models are inference-only; train the fp "
+                "model and quantize post-training"
+            )
         B, S = input_ids.shape
         hidden = self.embed_tokens(input_ids)
         positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))

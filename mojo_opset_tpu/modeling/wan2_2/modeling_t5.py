@@ -198,7 +198,8 @@ class T5Decoder(Module):
 class T5Model(Module):
     def __init__(self, vocab_size, dim, dim_attn, dim_ffn, num_heads, encoder_layers,
                  decoder_layers, num_buckets, shared_pos=True, dropout=0.1, key=None):
-        k0, k1, k2 = jax.random.split(key if key is not None else jax.random.PRNGKey(0), 3)
+        k0, k1, k2, k3 = jax.random.split(
+            key if key is not None else jax.random.PRNGKey(0), 4)
         self.vocab_size = vocab_size
         self.dim = dim
         self.token_embedding = MojoEmbedding(vocab_size, dim, key=k0)
@@ -206,7 +207,7 @@ class T5Model(Module):
                                  encoder_layers, num_buckets, shared_pos, dropout, key=k1)
         self.decoder = T5Decoder(self.token_embedding, dim, dim_attn, dim_ffn, num_heads,
                                  decoder_layers, num_buckets, shared_pos, dropout, key=k2)
-        self.head = MojoGemm(dim, vocab_size, bias=False, key=k2)
+        self.head = MojoGemm(dim, vocab_size, bias=False, key=k3)
 
     def __call__(self, encoder_ids, encoder_mask, decoder_ids, decoder_mask):
         x = self.encoder(encoder_ids, encoder_mask)

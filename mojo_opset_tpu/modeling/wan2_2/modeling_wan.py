@@ -76,6 +76,14 @@ class WanSelfAttention(Module):
     def _qk_norm(self, norm, x):
         return norm(x) if norm is not None else x
 
+    @staticmethod
+    def _key_mask(lens, b, s):
+        """(B, 1, 1, S) bool mask hiding padded keys (reference passes
+        k_lens=seq_lens into its flash attention, mojo_wan_model.py)."""
+        if lens is None:
+            return None
+        return (jnp.arange(s)[None, :] < jnp.asarray(lens).reshape(b, 1))[:, None, None, :]
+
     def __call__(self, x, seq_lens, grid_sizes, freqs):
         b, s = x.shape[:2]
         n, d = self.num_heads, self.head_dim
@@ -85,7 +93,8 @@ class WanSelfAttention(Module):
 
         qr = jnp.swapaxes(self.grid_rope(q, grid_sizes, freqs), 1, 2)
         kr = jnp.swapaxes(self.grid_rope(k, grid_sizes, freqs), 1, 2)
-        out = self.sdpa(qr, kr, jnp.swapaxes(v, 1, 2))
+        out = self.sdpa(qr, kr, jnp.swapaxes(v, 1, 2),
+                        attn_mask=self._key_mask(seq_lens, b, s))
         out = jnp.swapaxes(out, 1, 2).reshape(b, s, self.dim)
         return self.o(out)
 
@@ -98,7 +107,8 @@ class WanCrossAttention(WanSelfAttention):
         k = self._qk_norm(self.norm_k, self.k(context)).reshape(b, -1, n, d)
         v = self.v(context).reshape(b, -1, n, d)
         out = self.sdpa(
-            jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2)
+            jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2),
+            attn_mask=self._key_mask(context_lens, b, k.shape[1]),
         )
         out = jnp.swapaxes(out, 1, 2).reshape(b, q.shape[1], self.dim)
         return self.o(out)

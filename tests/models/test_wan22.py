@@ -109,3 +109,37 @@ def test_vae_wrapper_scaling():
     out = wrap.decode(zs)
     assert out[0].shape == (3, 5, 16, 16)
     assert float(jnp.abs(out[0]).max()) <= 1.0 + 1e-6
+
+
+def test_wan_self_attention_masks_padded_keys():
+    """Ragged batches: padded tokens must not act as attention keys
+    (reference masks with k_lens=seq_lens). A batch of [real, padded]
+    must reproduce the single-sample result for the real rows."""
+    import numpy as np
+
+    from mojo_opset_tpu.modeling.wan2_2.modeling_wan import WanSelfAttention
+
+    dim, heads, s_real, s_pad = 64, 4, 12, 20
+    attn = WanSelfAttention(dim, heads, key=jax.random.PRNGKey(3))
+    x_real = jax.random.normal(jax.random.PRNGKey(1), (1, s_real, dim), jnp.float32)
+    grid = jnp.asarray([[1, 3, 4]], jnp.int32)  # 1*3*4 = 12 tokens
+    freqs = None
+
+    # grid rope needs freqs; reuse the model's helper if present, else skip rope
+    try:
+        from mojo_opset_tpu.modeling.wan2_2.modeling_wan import rope_params
+
+        freqs = rope_params(1024, dim // heads)
+    except ImportError:
+        pass
+
+    want = np.asarray(attn(x_real, jnp.asarray([s_real], jnp.int32), grid, freqs))
+
+    x_padded = jnp.concatenate(
+        [x_real, jax.random.normal(jax.random.PRNGKey(2), (1, s_pad - s_real, dim))],
+        axis=1,
+    )
+    got = np.asarray(
+        attn(x_padded, jnp.asarray([s_real], jnp.int32), grid, freqs)
+    )[:, :s_real]
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
