@@ -19,14 +19,16 @@ class PallasGroupGemm(MojoGroupGemm):
     """Padded-GMM grouped matmul (one expert per M tile on the MXU)."""
 
     def forward(self, input: jax.Array, group_list: jax.Array) -> jax.Array:
-        weight = self._canonical_weight()
         M, K = input.shape
-        G, _, N = weight.shape
+        if self.trans_weight:
+            G, N, _ = self.weight.shape  # stored (G, N, K): kernel-native
+        else:
+            G, _, N = self.weight.shape
         interpret = pallas_interpret_mode()
         # geometry the kernel cannot tile: keep the xla tier's ragged_dot
         if K % 128 != 0 or N % 128 != 0 or M % 8 != 0 or M < 24:
             out = jax.lax.ragged_dot(
-                input, weight,
+                input, self._canonical_weight(),
                 group_sizes=jnp.asarray(group_list, jnp.int32),
                 preferred_element_type=jnp.float32,
             )
@@ -43,9 +45,13 @@ class PallasGroupGemm(MojoGroupGemm):
             bk = 2048
         else:
             bk = K  # small odd K (multiple of 128 guaranteed above)
+        # pass the STORED layout: the kernel reads (G, N, K) directly with
+        # trans_weight (K-contiguous bursts) — materializing a transpose
+        # here would copy every expert weight per call
         return grouped_matmul(
-            input, weight, jnp.asarray(group_list, jnp.int32),
-            bm=bm, bn=bn, bk=bk, interpret=interpret,
+            input, self.weight, jnp.asarray(group_list, jnp.int32),
+            bm=bm, bn=bn, bk=bk, trans_weight=self.trans_weight,
+            interpret=interpret,
         )
 
 

@@ -36,25 +36,25 @@ class PallasExperts(XlaExperts):
 
     def forward(self, sorted_hidden_states: jax.Array, tokens_per_expert: jax.Array):
         M, H = sorted_hidden_states.shape
-        w_up = jnp.swapaxes(self.up_proj_weight, 1, 2)  # (E, H, 2I)
-        w_down = jnp.swapaxes(self.down_proj_weight, 1, 2)  # (E, I, H)
-        I2 = w_up.shape[-1]
+        # stored layouts are (E, OUT, K) — exactly the kernel's
+        # trans_weight fast path (K-contiguous bursts); never transpose
+        I2 = self.up_proj_weight.shape[1]
         if not (_gmm_ok(M, H, I2) and _gmm_ok(M, I2 // 2, H)):
             return XlaExperts.forward(self, sorted_hidden_states, tokens_per_expert)
         interpret = pallas_interpret_mode()
         gs = tokens_per_expert.astype(jnp.int32)
         bm = 512 if M >= 4096 else max(8, ((M // 16) // 8) * 8 or 8)
         fc1 = grouped_matmul(
-            sorted_hidden_states, w_up, gs,
+            sorted_hidden_states, self.up_proj_weight, gs,
             bm=bm, bn=256 if I2 % 256 == 0 else 128, bk=_pick_bk(H),
-            interpret=interpret,
+            trans_weight=True, interpret=interpret,
         )
         gate, up = jnp.split(fc1.astype(jnp.float32), 2, axis=-1)
         act = (jax.nn.silu(gate) * up).astype(sorted_hidden_states.dtype)
         return grouped_matmul(
-            act, w_down, gs,
+            act, self.down_proj_weight, gs,
             bm=bm, bn=256 if H % 256 == 0 else 128, bk=_pick_bk(I2 // 2),
-            interpret=interpret,
+            trans_weight=True, interpret=interpret,
         )
 
 

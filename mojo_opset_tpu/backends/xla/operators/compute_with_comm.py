@@ -35,8 +35,6 @@ class XlaAllGatherGemm(MojoAllGatherGemm):
         perm_fwd = [(i, (i + 1) % n) for i in range(n)]
 
         chunk = input
-        partials = [None] * n
-        partials_src = jnp.zeros((n,), jnp.int32)
         # step 0: our own chunk
         outs = []
         srcs = []

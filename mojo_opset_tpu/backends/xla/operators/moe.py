@@ -47,9 +47,30 @@ class XlaQuantExperts(MojoQuantExperts):
     the fly (bitwise ops fuse into the weight load); group-wise weight
     scales keep the golden path."""
 
+    @staticmethod
+    def _ragged_quant_linear(x_int8, x_scale, w, w_scale, gs, gid, group_size):
+        """int8 ragged grouped matmul with per-channel or K-grouped weight
+        scales, fully jittable. ``w`` is (E, OUT, K) int8 (already
+        unpacked); ``w_scale`` is (E, OUT) or (E, OUT, G)."""
+        if group_size <= 0:
+            out = jax.lax.ragged_dot(
+                x_int8, jnp.swapaxes(w, 1, 2), group_sizes=gs,
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            return out * x_scale.astype(jnp.float32) * w_scale[gid].astype(jnp.float32)
+        K = x_int8.shape[-1]
+        n_groups = -(-K // group_size)
+        acc = 0.0
+        for g in range(n_groups):  # static trip count: unrolls under jit
+            sl = slice(g * group_size, min((g + 1) * group_size, K))
+            part = jax.lax.ragged_dot(
+                x_int8[:, sl], jnp.swapaxes(w[:, :, sl], 1, 2), group_sizes=gs,
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            acc = acc + part * w_scale[:, :, g][gid].astype(jnp.float32)
+        return acc * x_scale.astype(jnp.float32)
+
     def forward(self, sorted_hidden_states: jax.Array, tokens_per_expert: jax.Array):
-        if self.up_quant_group_size > 0 or self.down_quant_group_size > 0:
-            return MojoQuantExperts.forward(self, sorted_hidden_states, tokens_per_expert)
         from mojo_opset_tpu.core.operators.moe import unpack_int4
 
         up_w = self.up_proj_weight
@@ -69,20 +90,18 @@ class XlaQuantExperts(MojoQuantExperts):
         gid = jnp.clip(gid, 0, self.num_experts - 1)
 
         x_int8, x_scale = self.up_proj_quantize(sorted_hidden_states, tokens_per_expert)
-        w_up = jnp.swapaxes(up_w, 1, 2)  # (E, H, 2I) int8
-        fc1 = jax.lax.ragged_dot(
-            x_int8, w_up, group_sizes=gs, preferred_element_type=jnp.int32
-        ).astype(jnp.float32)
-        fc1 = fc1 * x_scale.astype(jnp.float32) * self.up_proj_weight_scale[gid].astype(jnp.float32)
+        fc1 = self._ragged_quant_linear(
+            x_int8, x_scale, up_w, self.up_proj_weight_scale, gs, gid,
+            self.up_quant_group_size,
+        )
         gate, up = jnp.split(fc1, 2, axis=-1)
         act = (jax.nn.silu(gate) * up).astype(dtype)
 
         y_int8, y_scale = self.down_proj_quantize(act, tokens_per_expert)
-        w_down = jnp.swapaxes(down_w, 1, 2)  # (E, I, H) int8
-        out = jax.lax.ragged_dot(
-            y_int8, w_down, group_sizes=gs, preferred_element_type=jnp.int32
-        ).astype(jnp.float32)
-        out = out * y_scale.astype(jnp.float32) * self.down_proj_weight_scale[gid].astype(jnp.float32)
+        out = self._ragged_quant_linear(
+            y_int8, y_scale, down_w, self.down_proj_weight_scale, gs, gid,
+            self.down_quant_group_size,
+        )
         return out.astype(dtype)
 
 

@@ -69,9 +69,14 @@ def _ce_from_logits(
     z_loss = None
     if lse_square_scale > 0.0:
         lse_valid = jnp.where(valid, lse, 0.0)
-        z_loss = lse_square_scale * jnp.sum(lse_valid * lse_valid) / jnp.maximum(
-            jnp.sum(valid), 1
-        )
+        z_sum = lse_square_scale * jnp.sum(lse_valid * lse_valid)
+        # z-loss follows the reduction: a "sum" chunk must NOT pre-divide
+        # by its local count — the chunked caller divides the combined
+        # total by the GLOBAL count (dividing twice shrank the objective)
+        if reduction == "sum":
+            z_loss = z_sum
+        else:
+            z_loss = z_sum / jnp.maximum(jnp.sum(valid), 1)
         if reduction != "none":
             loss = loss + z_loss
     return loss, z_loss
@@ -118,26 +123,34 @@ def fused_linear_cross_entropy(
         logits = (xi @ weight.T).astype(jnp.float32)
         if bias is not None:
             logits = logits + bias.astype(jnp.float32)
-        loss_sum, _ = _ce_from_logits(
+        loss_sum, z_sum = _ce_from_logits(
             logits, ti, ce_weight, ignore_index, lse_square_scale,
             label_smoothing, "sum", softcap,
         )
+        if z_sum is not None:
+            loss_sum = loss_sum - z_sum  # recombined after global division
         valid = jnp.sum(ti != ignore_index) if ce_weight is None else jnp.sum(
             jnp.where(ti != ignore_index, ce_weight[jnp.where(ti != ignore_index, ti, 0)], 0.0)
         )
-        return loss_sum, valid
+        n_valid = jnp.sum(ti != ignore_index)
+        return loss_sum, valid, n_valid, (z_sum if z_sum is not None else jnp.float32(0.0))
 
-    sums, counts = jax.lax.map(chunk_loss, (xc, tc))
+    sums, counts, n_valids, z_sums = jax.lax.map(chunk_loss, (xc, tc))
     total = jnp.sum(sums)
     denom = jnp.sum(counts)
+    z_total = jnp.sum(z_sums)
     if reduction == "mean":
         loss = total / jnp.maximum(denom, 1.0)
+        # z mean matches the unchunked path: UNWEIGHTED valid count
+        z_total = z_total / jnp.maximum(jnp.sum(n_valids), 1)
     elif reduction == "sum":
         loss = total
     else:
         raise NotImplementedError("chunked fused CE supports mean/sum reduction")
+    if lse_square_scale > 0.0:
+        loss = loss + z_total
     if return_z_loss:
-        return loss, jnp.float32(0.0)
+        return loss, z_total
     return loss
 
 

@@ -243,6 +243,12 @@ class MojoPagedDecodeGQA(MojoOperator):
         if not self.is_causal and mask is not None:
             # Decode: row `seq_len` of the (possibly per-batch) mask; True
             # means "mask out" here (reference attention.py:219-225).
+            # NOTE: the reference's decode and prefill mask contracts
+            # deliberately DIFFER and we mirror both bug-for-bug — prefill
+            # reads rows [kv_len-q_len, kv_len) with True = KEEP
+            # (reference attention.py:429-435), decode reads row kv_len
+            # (not kv_len-1) with True = EXCLUDE. A mask authored for one
+            # op is not interchangeable with the other.
             if mask.ndim == 2:
                 rows = mask[jnp.clip(total_seq_lens, 0, mask.shape[0] - 1)]  # (B, Tm)
             else:

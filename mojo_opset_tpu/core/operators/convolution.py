@@ -60,12 +60,9 @@ def causal_conv1d(
 
     final_state = None
     if output_final_state:
-        start = T - (W - 1)
-        if start < 0:
-            final_state = jnp.pad(xt, ((0, 0), (0, 0), (W - 1 - T, 0)))
-        else:
-            final_state = xt[..., start:]
-        final_state = final_state.astype(dtype_in)
+        # last W-1 columns of (initial_state ++ x): a chunk shorter than
+        # W-1 must CARRY the older history, not zero-pad over it
+        final_state = padded[..., padded.shape[-1] - (W - 1):].astype(dtype_in)
 
     if activation is not None:
         out = jax.nn.silu(out)

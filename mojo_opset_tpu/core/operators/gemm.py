@@ -27,7 +27,8 @@ class MojoGemm(MojoOperator):
         self,
         in_features: Optional[int] = None,
         out_features: Optional[int] = None,
-        bias: bool = True,
+        bias: Optional[bool] = None,  # None = auto: True when initializing,
+                                      # no bias when a prebuilt weight is given
         weight: Optional[jax.Array] = None,
         key: Optional[jax.Array] = None,
         **kwargs,
@@ -40,11 +41,16 @@ class MojoGemm(MojoOperator):
                 raise ValueError(f"weight must be 2D, got shape {tuple(weight.shape)}.")
             self.out_features, self.in_features = weight.shape
             self.weight = weight
-            self.bias = None
+            # an EXPLICIT bias=True with a prebuilt weight gets a zero bias
+            # leaf (set it afterwards); silently dropping it would be wrong
+            self.bias = (
+                jnp.zeros((self.out_features,), weight.dtype) if bias else None
+            )
             return
 
         if in_features is None or out_features is None:
             raise ValueError("in_features and out_features are required when weight is not provided.")
+        bias = True if bias is None else bias
         self.in_features = in_features
         self.out_features = out_features
         dtype = self.param_dtype or jnp.float32
