@@ -33,9 +33,15 @@ from typing import List
 def _per_device_sweep(args) -> List[dict]:
     """One run_perf subprocess per device; merge JSONs (reference
     launch.py:43 per-rank orchestration)."""
-    import jax
+    if args.num_devices:
+        # do NOT initialize jax here just to count devices: on a real TPU
+        # host libtpu is single-process — a parent holding the devices
+        # would starve every child run_perf subprocess
+        n = args.num_devices
+    else:
+        import jax
 
-    n = args.num_devices or len(jax.devices())
+        n = len(jax.devices())
     results: List[dict] = []
     procs = []
     outs = []

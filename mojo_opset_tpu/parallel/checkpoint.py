@@ -79,6 +79,11 @@ def mojo_parallel_load_state_dict_naive(
             key = rename_hook(key)
         if key in sd:
             val = jax.numpy.asarray(sd[key], dtype=leaf.dtype)
+            if hasattr(leaf, "shape") and tuple(val.shape) != tuple(leaf.shape):
+                raise ValueError(
+                    f"checkpoint shape mismatch for {key}: "
+                    f"{tuple(val.shape)} vs model {tuple(leaf.shape)}"
+                )
             if hasattr(leaf, "sharding"):
                 val = jax.device_put(val, leaf.sharding)
             new_leaves.append(val)

@@ -49,7 +49,17 @@ def shard_model(model, mesh: Mesh, rules: List[ShardRule], donate: bool = False)
                 break
         if spec != P():
             ok = True
+            if len(spec) > leaf.ndim:
+                # an overlong spec with trailing Nones would slip past the
+                # per-axis loop and crash device_put on low-rank leaves
+                logger.warning(
+                    "shard_model: %s rank %d < spec %s; replicating",
+                    pstr, leaf.ndim, spec,
+                )
+                ok = False
             for dim, axis in enumerate(spec):
+                if not ok:
+                    break
                 if axis is None:
                     continue
                 axis_size = mesh.shape[axis] if not isinstance(axis, tuple) else int(
@@ -110,10 +120,10 @@ def moe_ep_rules(ep_axis: str = "ep") -> List[ShardRule]:
     """Expert-parallel plan: expert-major weights shard on dim 0
     (reference distributed/parallel/expert_parallel.py:66-126, incl. quant
     scale / smooth-scale tensors)."""
+    # scale rules are scoped under *experts*/moe paths: a bare
+    # "*weight_scale" would also match non-expert 1-D QuantGemm scales
+    # (e.g. attention projections) with a rank-2 spec
     return [
         ShardRule("*experts*weight", (ep_axis, None, None)),
         ShardRule("*experts*scale", (ep_axis, None)),
-        ShardRule("*inv_smooth_scale", (ep_axis, None)),
-        ShardRule("*weight_scale", (ep_axis, None)),
-        ShardRule("*quant_scale", (ep_axis, None)),
     ]

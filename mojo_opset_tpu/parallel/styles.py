@@ -113,55 +113,22 @@ class MojoQKVColwiseParallel(MojoParallelStyle):
                 return P(self.axis)
         return P()
 
-    def apply(self, module, mesh: Mesh):
-        tp = mesh.shape[self.axis]
-        shard_kv = tp <= self.num_kv_heads and self.num_kv_heads % tp == 0
-
-        flat, treedef = jax.tree_util.tree_flatten_with_path(module)
-        new_leaves = []
-        for path, leaf in flat:
-            name = jax.tree_util.keystr(path)
-            spec = P()
-            if ("q_proj" in name) and name.endswith(".weight"):
-                spec = P(self.axis, None)
-            elif ("q_proj" in name) and name.endswith(".bias"):
-                spec = P(self.axis)
-            elif any(k in name for k in ("k_proj", "v_proj")):
-                if shard_kv and name.endswith(".weight"):
-                    spec = P(self.axis, None)
-                elif shard_kv and name.endswith(".bias"):
-                    spec = P(self.axis)
-            new_leaves.append(_put(leaf, mesh, spec))
-        return jax.tree_util.tree_unflatten(treedef, new_leaves)
-
-
 class MojoSwiGLUParallel(MojoParallelStyle):
-    """Fused SwiGLU fc1 (2*I, H): shard gate and up halves independently so
-    each shard's chunk() stays aligned (reference partitions.py:92-120)."""
+    """Fused SwiGLU fc1 (2*I, H) colwise + fc2 rowwise.
 
-    def apply(self, module, mesh: Mesh):
-        tp = mesh.shape[self.axis]
-        flat, treedef = jax.tree_util.tree_flatten_with_path(module)
-        new_leaves = []
-        for path, leaf in flat:
-            name = jax.tree_util.keystr(path)
-            if "fc1" in name and name.endswith(".weight") and leaf.ndim == 2:
-                two_i = leaf.shape[0]
-                half = two_i // 2
-                if half % tp == 0:
-                    # interleave: reorder rows so each shard gets aligned
-                    # (gate_i, up_i) halves, then shard contiguously
-                    gate, up = leaf[:half], leaf[half:]
-                    gs = gate.reshape(tp, half // tp, -1)
-                    us = up.reshape(tp, half // tp, -1)
-                    inter = jnp.concatenate([gs, us], axis=1).reshape(two_i, -1)
-                    new_leaves.append(_put(inter, mesh, P(self.axis, None)))
-                    continue
-            if "fc2" in name and name.endswith(".weight") and leaf.ndim == 2:
-                new_leaves.append(_put(leaf, mesh, P(None, self.axis)))
-                continue
-            new_leaves.append(_put(leaf, mesh, P()))
-        return jax.tree_util.tree_unflatten(treedef, new_leaves)
+    The reference physically interleaves gate/up rows so each shard's
+    LOCAL chunk() stays aligned (partitions.py:92-120) — a DTensor
+    local-view trick. Under GSPMD that permutation would CHANGE the
+    logical array (device_put shards the permuted value) and corrupt the
+    model's split(); plain specs are both correct and sufficient — XLA
+    reshards the logical halves as needed."""
+
+    def spec_for(self, name, leaf, mesh):
+        if "fc1" in name and name.endswith(".weight") and leaf.ndim == 2:
+            return P(self.axis, None)
+        if "fc2" in name and name.endswith(".weight") and leaf.ndim == 2:
+            return P(None, self.axis)
+        return P()
 
 
 class MojoTensorParallel(MojoParallelStyle):
@@ -313,11 +280,13 @@ class MojoDistributedModule:
         return self._mod(*args, **kwargs)
 
     def get_unmanaged_params(self, model) -> list:
-        managed = set(self._managed_params)
+        # managed paths are SUBMODULE-relative; model paths are full —
+        # suffix-match instead of exact set membership
+        managed = tuple(self._managed_params)
         return [
             jax.tree_util.keystr(p)
             for p, _ in jax.tree_util.tree_flatten_with_path(model)[0]
-            if jax.tree_util.keystr(p) not in managed
+            if not any(jax.tree_util.keystr(p).endswith(m) for m in managed)
         ]
 
 
@@ -329,16 +298,30 @@ def mojo_parallelize_module(model, mesh: Mesh, plan: Dict[str, MojoParallelStyle
     Reference mojo_parallel.py:209-272 (set_submodule replacement becomes
     a functional pytree rebuild).
     """
+    from mojo_opset_tpu.parallel.plans import _path_str
+
     flat, treedef = jax.tree_util.tree_flatten_with_path(model)
     new_leaves = []
     for path, leaf in flat:
-        name = jax.tree_util.keystr(path)
-        norm = name.replace("']['", ".").replace("['", "").replace("']", "").replace("].", ".")
+        # _path_str handles list indices correctly ("layers.0.self_attn…");
+        # the previous hand-rolled replace chain left "[0" fragments that
+        # made numeric-index patterns never match
+        norm = _path_str(path)
         spec = P()
         for pattern, style in plan.items():
             # match the pattern against any prefix of the path
             if fnmatch.fnmatch(norm, f"*{pattern}*"):
-                spec = style.spec_for(norm, leaf, mesh)
+                try:
+                    spec = style.spec_for(norm, leaf, mesh)
+                except NotImplementedError:
+                    # apply()-based styles (registerable dist-info wrappers)
+                    # carry no leaf-wise spec; replicate and warn
+                    logger.warning(
+                        "mojo_parallelize_module: style %s has no spec_for; "
+                        "replicating %s (use style.apply on the submodule)",
+                        type(style).__name__, norm,
+                    )
+                    spec = P()
                 break
         new_leaves.append(_put(leaf, mesh, spec))
     return jax.tree_util.tree_unflatten(treedef, new_leaves)

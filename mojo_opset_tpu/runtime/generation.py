@@ -301,14 +301,20 @@ class MojoGenerator:
                 "after_decode_step", step=step, logits=logits, next_token_id=next_token_id
             )
             next_np = np.asarray(next_token_id)
+            prev_end = should_end
             should_end = should_end | (next_np == eos_id)
-            if not ignore_eos and bool(np.all(should_end)):
-                break
             if not ignore_eos:
-                next_np = np.where(should_end, eos_id, next_np)
+                # sequences that ended EARLIER stay clamped to EOS; the
+                # step that produces a sequence's FIRST EOS must still be
+                # emitted (breaking before append dropped the final EOS
+                # from the last-finishing sequence, making the stepwise
+                # and fused paths disagree)
+                next_np = np.where(prev_end, eos_id, next_np)
                 next_token_id = jnp.asarray(next_np)
             generated_ids.append(next_np)
             all_generated.append(next_np)
+            if not ignore_eos and bool(np.all(should_end)):
+                break
             input_tok = next_token_id
 
             if typewriter is not None and len(generated_ids) >= self._typewriter_buffer:

@@ -48,7 +48,12 @@ class TPUProfilerHook(GeneratorHook):
             self._running = True
             logger.info("TPU profiler trace started -> %s", self.log_dir)
         elif self._running and self._step >= self.wait + self.active:
-            jax.block_until_ready(logits)
+            # block_until_ready is NOT a reliable barrier on the tunneled
+            # TPU platform (see benchmark/timing.py device_sync) — a host
+            # fetch forces the profiled steps to actually finish
+            from mojo_opset_tpu.benchmark.timing import device_sync
+
+            device_sync(logits)
             jax.profiler.stop_trace()
             self._running = False
             logger.info("TPU profiler trace saved -> %s", self.log_dir)

@@ -65,9 +65,10 @@ def test_early_stop_when_all_sequences_end():
     model = _ScriptedModel([[3], [9], [1], [2]])
     out = _gen(model).generate_from_ids(np.zeros(1, np.int32), np.ones(1, np.int32),
                                         max_decode_steps=4, silent=True)
-    # the batch-ending EOS step breaks the loop without appending the EOS
-    np.testing.assert_array_equal(out, [[3]])
-    assert model.calls == 2  # prefill + one decode, no wasted steps
+    # the batch-ending EOS step IS emitted (matching the fused path),
+    # then the loop stops with no wasted steps
+    np.testing.assert_array_equal(out, [[3, 9]])
+    assert model.calls == 2  # prefill + one decode
 
 
 def test_ignore_eos_keeps_generating():

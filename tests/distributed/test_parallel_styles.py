@@ -291,3 +291,24 @@ def test_tp_speculative_decoding_matches_single_device():
     np.testing.assert_array_equal(got[0], np.asarray(want, np.int32))
     print("OK")
     """)
+
+
+def test_swiglu_parallel_tp4_matches_unsharded():
+    """MojoSwiGLUParallel on a real 4-way mesh must preserve the fused
+    fc1 gate/up split (the DTensor-style row interleave would corrupt the
+    logical value under GSPMD — this pins the plain-spec behavior)."""
+    run_distributed("""
+    from mojo_opset_tpu.core.operators.mlp import MojoSwiGLUMLP
+    from mojo_opset_tpu.parallel import MojoSwiGLUParallel
+
+    mlp = MojoSwiGLUMLP(input_size=64, output_size=64, hidden_size=128, key=jax.random.PRNGKey(3))
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 64), jnp.float32)
+    want = np.asarray(mlp(x))
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("tp",))
+    with jax.sharding.use_mesh(mesh) if hasattr(jax.sharding, "use_mesh") else mesh:
+        sharded = MojoSwiGLUParallel().apply(mlp, mesh)
+        got = np.asarray(jax.jit(lambda m, a: m(a))(sharded, x))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+    print("OK")
+    """)
