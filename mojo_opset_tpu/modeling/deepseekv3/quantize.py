@@ -34,7 +34,10 @@ def _quantize_mlp(dst, src):
 def quantize_deepseek_v3(model: DeepseekV3ForCausalLM) -> DeepseekV3ForCausalLM:
     """Return the w8a8 serving twin of a fp ``DeepseekV3ForCausalLM``."""
     cfg = dataclasses.replace(model._config, quant="w8a8")
-    qm = DeepseekV3ForCausalLM(cfg, key=jax.random.PRNGKey(0))
+    from mojo_opset_tpu.utils.init import skip_init_scope
+
+    with skip_init_scope():  # every twin param is immediately overwritten
+        qm = DeepseekV3ForCausalLM(cfg, key=jax.random.PRNGKey(0))
 
     qm.model.embed_tokens = model.model.embed_tokens
     qm.model.norm = model.model.norm

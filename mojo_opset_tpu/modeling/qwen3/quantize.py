@@ -42,7 +42,10 @@ def _quantize_into(dst: MojoQuantGemm, src: MojoGemm) -> MojoQuantGemm:
 def quantize_qwen3(model: Qwen3ForCausalLM) -> Qwen3ForCausalLM:
     """Return the w8a8 twin of a bf16 ``Qwen3ForCausalLM``."""
     cfg = dataclasses.replace(model.qwen3_config, quant="w8a8")
-    qm = Qwen3ForCausalLM(cfg, key=jax.random.PRNGKey(0))
+    from mojo_opset_tpu.utils.init import skip_init_scope
+
+    with skip_init_scope():  # every twin param is immediately overwritten
+        qm = Qwen3ForCausalLM(cfg, key=jax.random.PRNGKey(0))
 
     qm.model.embed_tokens = model.model.embed_tokens
     qm.model.norm = model.model.norm
@@ -110,7 +113,10 @@ def quantize_qwen3_moe(model, weight_dtype="int8"):
 
     mode = "w4a8" if weight_dtype == "int4" else "w8a8"
     cfg = dataclasses.replace(model._config, quant=mode)
-    qm = Qwen3MoeForCausalLM(cfg, key=jax.random.PRNGKey(0))
+    from mojo_opset_tpu.utils.init import skip_init_scope
+
+    with skip_init_scope():
+        qm = Qwen3MoeForCausalLM(cfg, key=jax.random.PRNGKey(0))
 
     qm.embed_tokens = model.embed_tokens
     qm.norm = model.norm

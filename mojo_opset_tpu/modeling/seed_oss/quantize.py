@@ -27,7 +27,10 @@ def _quantize_biased(dst, src):
 def quantize_seed_oss(model: SeedOssForCausalLM) -> SeedOssForCausalLM:
     """Return the w8a8 serving twin of a fp ``SeedOssForCausalLM``."""
     cfg = dataclasses.replace(model._config, quant="w8a8")
-    qm = SeedOssForCausalLM(cfg, key=jax.random.PRNGKey(0))
+    from mojo_opset_tpu.utils.init import skip_init_scope
+
+    with skip_init_scope():  # every twin param is immediately overwritten
+        qm = SeedOssForCausalLM(cfg, key=jax.random.PRNGKey(0))
 
     qm.embed_tokens = model.embed_tokens
     qm.norm = model.norm

@@ -26,6 +26,10 @@ def _device_init_active() -> bool:
     return getattr(_tls, "device_init", False)
 
 
+def _skip_init_active() -> bool:
+    return getattr(_tls, "skip_init", False)
+
+
 @contextlib.contextmanager
 def device_init_scope():
     prev = getattr(_tls, "device_init", False)
@@ -34,6 +38,19 @@ def device_init_scope():
         yield
     finally:
         _tls.device_init = prev
+
+
+@contextlib.contextmanager
+def skip_init_scope():
+    """All initializers return zeros: for constructing a module twin whose
+    every parameter is immediately overwritten (post-training quantizers),
+    skipping the RNG work and the transient random weights entirely."""
+    prev = getattr(_tls, "skip_init", False)
+    _tls.skip_init = True
+    try:
+        yield
+    finally:
+        _tls.skip_init = prev
 
 
 def build_on_device(ctor, *args, **kwargs):
@@ -54,6 +71,8 @@ def _rng_from_key(key) -> np.random.Generator:
 
 
 def uniform(key, shape, dtype, minval: float, maxval: float) -> jax.Array:
+    if _skip_init_active():
+        return jnp.zeros(shape, dtype)
     if _device_init_active():
         return jax.random.uniform(key, shape, jnp.float32, minval, maxval).astype(dtype)
     rng = _rng_from_key(key)
@@ -61,6 +80,8 @@ def uniform(key, shape, dtype, minval: float, maxval: float) -> jax.Array:
 
 
 def normal(key, shape, dtype, stddev: float = 1.0) -> jax.Array:
+    if _skip_init_active():
+        return jnp.zeros(shape, dtype)
     if _device_init_active():
         return (jax.random.normal(key, shape, jnp.float32) * stddev).astype(dtype)
     rng = _rng_from_key(key)
