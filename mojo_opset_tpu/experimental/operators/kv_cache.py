@@ -121,7 +121,9 @@ class MojoDequantFromPagedKVCache(MojoOperator):
                 if sl <= 0:
                     continue
                 nb = -(-sl // bs)
-                parts = [cache[int(block_tables[i, j])] for j in range(nb)]
+                bids = [int(block_tables[i, j]) for j in range(nb)]
+                bids = bids[: next((j for j, b in enumerate(bids) if b < 0), nb)]
+                parts = [cache[b] for b in bids]  # -1 must not wrap to the last block
                 dense = jnp.concatenate(parts, axis=-2)[:, :sl]  # (H, sl, D)
                 deq = dense.astype(jnp.float32) * scale.astype(jnp.float32)[:, None, :]
                 out = out.at[int(offs[i]) : int(offs[i]) + sl].set(

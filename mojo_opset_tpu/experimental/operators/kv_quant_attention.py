@@ -59,15 +59,12 @@ class _KVDequantConfig:
         self.qmax, self.qmin = 127.0, -128.0
 
     def _expand_scales(self, key_scale, value_scale, num_q_heads, num_kv_heads):
-        if num_q_heads != num_kv_heads:
-            g = num_q_heads // num_kv_heads
-            if self.gqa_layout == "AABB":
-                key_scale = jnp.repeat(key_scale, g, axis=0)
-                value_scale = jnp.repeat(value_scale, g, axis=0)
-            else:
-                key_scale = jnp.tile(key_scale, (g, 1))
-                value_scale = jnp.tile(value_scale, (g, 1))
-        return key_scale, value_scale
+        # single source of truth for the AABB/ABAB head expansion
+        g = num_q_heads // num_kv_heads if num_q_heads != num_kv_heads else 1
+        return (
+            expand_gqa(key_scale, g, self.gqa_layout, 0),
+            expand_gqa(value_scale, g, self.gqa_layout, 0),
+        )
 
     def _scores(self, q, k_exp, key_scale, softmax_scale):
         """q (R, Hq, D) fp; k_exp (R?, K, Hq, D) int8; key_scale (Hq, D)."""
@@ -140,6 +137,20 @@ class MojoPagedDecodeGQAWithKVDequant(_KVDequantConfig, MojoOperator):
 
         scores = self._scores(query, k, key_scale, softmax_scale)
         valid = jnp.arange(K)[None, None, :] < total_seq_lens[:, None, None]
+        if not self.is_causal and mask is not None:
+            # same contract as MojoPagedDecodeGQA: row `seq_len` of the
+            # (possibly per-batch) mask, True = mask OUT (reference
+            # attention.py:790)
+            if mask.ndim == 2:
+                rows = mask[jnp.clip(total_seq_lens, 0, mask.shape[0] - 1)]
+            else:
+                rows = jnp.take_along_axis(
+                    mask, jnp.clip(total_seq_lens, 0, mask.shape[1] - 1)[:, None, None], axis=1
+                )[:, 0, :]
+            pad = K - rows.shape[-1]
+            if pad > 0:
+                rows = jnp.pad(rows, ((0, 0), (0, pad)))
+            valid = valid & ~rows[:, None, :K].astype(bool)
         probs = masked_softmax(scores, valid, query.dtype)
         out = self._pv(probs, v, value_scale)
         out = jnp.where((total_seq_lens > 0)[:, None, None], out, 0)
@@ -244,6 +255,7 @@ class MojoPagedDecodeSWAWithKVDequant(_SWADequantMixin, MojoOperator):
         total_seq_lens, block_table, softmax_scale=None, *, max_total_seq_len=None,
     ):
         assert_paged_decode_contract(block_table, total_seq_lens)
+        assert query_scale is None, "query_scale must be None for non-quantized query"
         B, Hq, D = query.shape
         Hkv = key_cache.shape[1]
         group = Hq // Hkv
@@ -284,6 +296,7 @@ class MojoPagedPrefillSWAWithKVDequant(_SWADequantMixin, MojoOperator):
         *, max_q_len=None, max_total_seq_len=None,
     ):
         assert_paged_prefill_contract(cu_q_lens, block_table, cu_total_seq_lens)
+        assert query_scale is None, "query_scale must be None for non-quantized query"
         T, Hq, D = query.shape
         Hkv = key_cache.shape[1]
         group = Hq // Hkv

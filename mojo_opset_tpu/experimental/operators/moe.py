@@ -12,6 +12,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mojo_opset_tpu.core.operator import MojoOperator
 from mojo_opset_tpu.core.operators.moe import count_expert_tokens
@@ -141,6 +142,19 @@ class MojoFusedSwiGLUMoEScaleDynamicQuantize(MojoOperator):
             if scale_fp.ndim == 1:
                 output = output * scale_fp[None, None, :]
             else:
+                # reference validates the routing counts (_validate_moe_
+                # token_count); without this, JAX's clamped gather would
+                # silently apply the LAST expert's scales to overflow rows
+                counts = np.asarray(token_count)
+                if counts.shape[0] != scale_fp.shape[0]:
+                    raise ValueError(
+                        f"token_count has {counts.shape[0]} entries for "
+                        f"{scale_fp.shape[0]} experts"
+                    )
+                if int(counts.sum()) != T * K:
+                    raise ValueError(
+                        f"token_count sums to {int(counts.sum())}, expected T*K={T * K}"
+                    )
                 expanded = _repeat_by_counts(scale_fp, jnp.asarray(token_count), T * K)
                 output = output * expanded.reshape(T, K, -1)
 

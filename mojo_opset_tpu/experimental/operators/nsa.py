@@ -101,7 +101,13 @@ class _NSAMixin:
     def _decode_core(self, q_i, k_i, v_i, sl, softmax_scale):
         if sl <= 0:
             return jnp.zeros_like(q_i)
-        comp_k, comp_v = _nsa_compress_kv(k_i, v_i, self.compress_ratio)
+        if sl >= self.compress_ratio:
+            comp_k, comp_v = _nsa_compress_kv(k_i, v_i, self.compress_ratio)
+        else:
+            # fewer context tokens than one compression block: the
+            # compressed branch falls back to the raw context (reference
+            # attention.py:1533) — pooling would attend an EMPTY kv
+            comp_k, comp_v = k_i[:sl], v_i[:sl]
         sel_mask = _nsa_select_blocks(
             q_i, comp_k, sl, softmax_scale, self.compress_ratio,
             self.block_size, self.num_selected_blocks,
@@ -174,8 +180,12 @@ class MojoPagedDecodeNSA(_NSAMixin, MojoOperator):
             if bt[i, 0] < 0:
                 raise ValueError("Paged decode requires a valid block table for rows with kv lens > 0.")
             nb = -(-sl // blk)
-            k_i = jnp.concatenate([jnp.swapaxes(key_cache[int(bt[i, j])], 0, 1) for j in range(nb)])[:sl]
-            v_i = jnp.concatenate([jnp.swapaxes(value_cache[int(bt[i, j])], 0, 1) for j in range(nb)])[:sl]
+            # stop at the first invalid entry: -1 would wrap to the LAST
+            # physical block via Python indexing (reference breaks at bid<0)
+            bids = [int(bt[i, j]) for j in range(nb)]
+            bids = bids[: next((j for j, b in enumerate(bids) if b < 0), nb)]
+            k_i = jnp.concatenate([jnp.swapaxes(key_cache[b], 0, 1) for b in bids])[:sl]
+            v_i = jnp.concatenate([jnp.swapaxes(value_cache[b], 0, 1) for b in bids])[:sl]
             outs.append(self._decode_core(query[i], k_i, v_i, sl, softmax_scale))
         return jnp.stack(outs)
 
@@ -231,8 +241,10 @@ class MojoPagedPrefillNSA(_NSAMixin, MojoOperator):
             if bt[i, 0] < 0:
                 raise ValueError("Paged prefill requires a valid block table for rows with kv lens > 0.")
             nb = -(-kv_len // blk)
-            k_seq = jnp.concatenate([jnp.swapaxes(key_cache[int(bt[i, j])], 0, 1) for j in range(nb)])[:kv_len]
-            v_seq = jnp.concatenate([jnp.swapaxes(value_cache[int(bt[i, j])], 0, 1) for j in range(nb)])[:kv_len]
+            bids = [int(bt[i, j]) for j in range(nb)]
+            bids = bids[: next((j for j, b in enumerate(bids) if b < 0), nb)]
+            k_seq = jnp.concatenate([jnp.swapaxes(key_cache[b], 0, 1) for b in bids])[:kv_len]
+            v_seq = jnp.concatenate([jnp.swapaxes(value_cache[b], 0, 1) for b in bids])[:kv_len]
             for t in range(q_len):
                 t_kv = (kv_len - q_len + t + 1) if self.is_causal else kv_len
                 row = self._decode_core(query[qs + t], k_seq[:t_kv], v_seq[:t_kv], t_kv, softmax_scale)

@@ -388,3 +388,30 @@ def test_xla_mla_absorbed_matches_golden_paged():
     want_p = ref_p(qp, ckv, kpe, cu, bt, None, cu_tot)
     got_p = xla_p(qp, ckv, kpe, cu, bt, None, cu_tot)
     np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p), atol=2e-5, rtol=2e-5)
+
+
+def test_nsa_compressed_branch_falls_back_for_short_context():
+    """Context shorter than one compression block: the compressed-global
+    branch must attend the RAW context (reference attention.py:1533), not
+    an empty pooled KV. With window >= sl and full block selection, all
+    three branches see the same tokens, so out == (g0+g1+g2) * attn."""
+    import numpy as np
+
+    from mojo_opset_tpu.experimental.operators import MojoDecodeNSA
+    from mojo_opset_tpu.experimental.operators.nsa import _nsa_attend, _nsa_gate
+
+    H, D = 4, 16
+    op = MojoDecodeNSA.get_backend_impl("ref")(
+        num_heads=H, head_dim=D, compress_ratio=4, num_selected_blocks=8,
+        block_size=8, window_size=64, key=jax.random.PRNGKey(2),
+    )
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, H, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 2, H, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(3), (1, 2, H, D), jnp.float32)
+    out = np.asarray(op(q, k, v, jnp.asarray([2], jnp.int32)))
+
+    scale = 1.0 / np.sqrt(D)
+    attn = np.asarray(_nsa_attend(q[0][None], k[0], v[0], scale)[0])
+    g = np.asarray(_nsa_gate(q[0], op.gate_proj))
+    want = (g.sum(-1)[..., None]) * attn
+    np.testing.assert_allclose(out[0], want, atol=1e-5, rtol=1e-5)
