@@ -98,10 +98,12 @@ def run_case(spec: PerfSpec, provider: str, case, iters: int = 16,
         "us": round(us, 3),
     }
     if workload.flops:
-        rec["tflops"] = round(workload.flops / (us * 1e-6) / 1e12, 3)
+        rec["tflops"] = round(workload.flops / (us * 1e-6) / 1e12, 6)
     if workload.read_bytes or workload.write_bytes:
         total = (workload.read_bytes or 0) + (workload.write_bytes or 0)
-        rec["gbps"] = round(total / (us * 1e-6) / 1e9, 1)
+        # 6 decimals: a tiny op measured under heavy host contention can
+        # land far below 0.1 GB/s — coarse rounding collapsed it to 0
+        rec["gbps"] = round(total / (us * 1e-6) / 1e9, 6)
     return rec
 
 
