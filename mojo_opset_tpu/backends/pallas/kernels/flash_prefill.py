@@ -27,6 +27,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mojo_opset_tpu.backends.pallas.kernels._compat import mosaic_f16_compat
+
 _NEG = -1e30
 
 
@@ -352,6 +354,7 @@ def _prefill_kernel_nhd(
     jax.jit,
     static_argnames=("softmax_scale", "gqa_layout", "q_block", "pages_per_fetch", "interpret", "kv_layout"),
 )
+@mosaic_f16_compat
 def paged_prefill_gqa(
     query: jax.Array,  # (T, Hq, D)
     key_cache: jax.Array,  # (N, Hkv, bs, D)

@@ -34,6 +34,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mojo_opset_tpu.backends.pallas.kernels._compat import mosaic_f16_compat
+
 
 def _gmm_kernel_innerk(
     # scalar prefetch
@@ -214,6 +216,7 @@ def _gmm_kernel_innerk(
 @functools.partial(
     jax.jit, static_argnames=("bm", "bn", "bk", "interpret", "trans_weight")
 )
+@mosaic_f16_compat
 def grouped_matmul(
     x: jax.Array,  # (M, K) rows sorted by group
     weights: jax.Array,  # (G, K, N); (G, N, K) when trans_weight

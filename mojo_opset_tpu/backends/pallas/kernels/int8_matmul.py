@@ -24,6 +24,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mojo_opset_tpu.backends.pallas.kernels._compat import mosaic_f16_compat
+
 
 def _int8_mm_kernel(x_ref, w_ref, is_ref, ws_ref, o_ref, acc_ref, *,
                     k_chunks: int, trans_weight: bool):
@@ -48,6 +50,7 @@ def _int8_mm_kernel(x_ref, w_ref, is_ref, ws_ref, o_ref, acc_ref, *,
     jax.jit,
     static_argnames=("out_dtype", "bm", "bn", "bk", "trans_weight", "interpret"),
 )
+@mosaic_f16_compat
 def int8_scaled_matmul(
     x: jax.Array,            # (M, K) int8
     w: jax.Array,            # (K, N) int8; (N, K) when trans_weight

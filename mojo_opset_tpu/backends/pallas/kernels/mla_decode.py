@@ -29,6 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mojo_opset_tpu.backends.pallas.kernels._compat import mosaic_f16_compat
+
 _NEG = -1e30
 
 
@@ -145,6 +147,7 @@ def _mla_decode_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("pages_per_fetch", "interpret"))
+@mosaic_f16_compat
 def mla_decode_absorbed(
     q_lat: jax.Array,  # (B, H, r) — scale already folded
     q_pe: jax.Array,  # (B, H, dr)

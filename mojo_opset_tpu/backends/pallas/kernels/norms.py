@@ -17,6 +17,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mojo_opset_tpu.backends.pallas.kernels._compat import mosaic_f16_compat
+
 
 def _row_block(T: int, D: int = 0, n_io: int = 2) -> int:
     """Largest row block whose VMEM footprint stays inside the ~16 MB
@@ -39,6 +41,7 @@ def _rmsnorm_kernel(x_ref, w_ref, o_ref, *, eps: float):
     o_ref[...] = (normed * w_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
 
 
+@mosaic_f16_compat
 def rmsnorm(x: jax.Array, weight: jax.Array, eps: float, interpret: bool = False) -> jax.Array:
     orig_shape = x.shape
     D = orig_shape[-1]
@@ -75,6 +78,7 @@ def _add_rmsnorm_kernel(x_ref, r_ref, w_ref, o_ref, res_ref, *, eps: float, norm
         res_ref[...] = normed.astype(res_ref.dtype)
 
 
+@mosaic_f16_compat
 def residual_add_rmsnorm(
     hidden: jax.Array,
     residual: jax.Array,
@@ -123,6 +127,7 @@ def _rmsnorm_quant_kernel(x_ref, w_ref, q_ref, s_ref, *, eps: float, q_max: floa
     s_ref[...] = jnp.broadcast_to(scale, s_ref.shape)
 
 
+@mosaic_f16_compat
 def rmsnorm_quant(
     x: jax.Array, weight: jax.Array, eps: float, q_min: float, q_max: float,
     quant_dtype=jnp.int8, interpret: bool = False,

@@ -22,6 +22,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mojo_opset_tpu.backends.pallas.kernels._compat import mosaic_f16_compat
+
 _NEG = -1e30
 
 
@@ -254,6 +256,7 @@ def _decode_kernel(
         "local_window", "global_window",
     ),
 )
+@mosaic_f16_compat
 def paged_decode_gqa(
     query: jax.Array,  # (B, Hq, D)
     key_cache: jax.Array,  # (N, Hkv, bs, D)

@@ -29,6 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mojo_opset_tpu.backends.pallas.kernels._compat import mosaic_f16_compat
+
 
 def _store_kernel(
     # scalar prefetch
@@ -172,6 +174,7 @@ def _decode_store_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("kv_layout", "interpret"))
+@mosaic_f16_compat
 def store_paged_kv_decode(
     key_states: jax.Array,  # (B, Hkv, D)
     value_states: jax.Array,
@@ -213,6 +216,7 @@ def store_paged_kv_decode(
 
 
 @functools.partial(jax.jit, static_argnames=("kv_layout", "interpret"))
+@mosaic_f16_compat
 def store_paged_kv_prefill(
     key_states: jax.Array,  # (T, Hkv, D)
     value_states: jax.Array,

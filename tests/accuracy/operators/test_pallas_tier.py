@@ -37,6 +37,65 @@ def test_pallas_rmsnorm_matches_ref():
     op_p.forward_diff_with(op_r, x, atol=1e-2, rtol=1e-2)
 
 
+@pytest.mark.parametrize("dtype", [jnp.float16, jnp.float32])
+def test_pallas_rmsnorm_fp16_fp32(dtype):
+    """Mosaic has no f16; the kernel tier must bounce f16 through fp32
+    (backends/pallas/kernels/_compat.py) instead of hard-crashing — the
+    reference benchmark table has fp16 rows (ref tests/perf/benchmark.md)."""
+    op_p = m.MojoRMSNorm.get_backend_impl("pallas", strict=True)(64, eps=1e-6)
+    op_r = m.MojoRMSNorm.get_backend_impl("ref")(64, eps=1e-6)
+    w = (randn(1, (64,)) + 1.0).astype(dtype)
+    op_p = op_p.replace(weight=w)
+    op_r = op_r.replace(weight=w)
+    x = randn(0, (16, 64), dtype)
+    out = op_p(x)
+    assert out.dtype == dtype
+    op_p.forward_diff_with(op_r, x, atol=1e-2, rtol=1e-2)
+
+
+def test_pallas_residual_add_rmsnorm_fp16():
+    op_p = m.MojoResidualAddRMSNorm.get_backend_impl("pallas", strict=True)(64, 1e-6, "pre")
+    op_r = m.MojoResidualAddRMSNorm.get_backend_impl("ref")(64, 1e-6, "pre")
+    w = (randn(1, (64,)) + 1.0).astype(jnp.float16)
+    op_p = op_p.replace(weight=w)
+    op_r = op_r.replace(weight=w)
+    h = randn(0, (16, 64), jnp.float16)
+    r = randn(2, (16, 64), jnp.float16)
+    out, res = op_p(h, r)
+    assert out.dtype == jnp.float16 and res.dtype == jnp.float16
+    op_p.forward_diff_with(op_r, h, r, atol=1e-2, rtol=1e-2)
+
+
+def test_pallas_paged_decode_fp16():
+    case = make_paged_case(seq_lens=(9, 2, 16), head_dim=128)
+    kc = case["key_cache"].astype(jnp.float16)
+    vc = case["value_cache"].astype(jnp.float16)
+    q = randn(5, (3, case["hq"], 128), jnp.float16)
+    args = (q, kc, vc, case["seq_lens"], case["block_tables"])
+    op_p = m.MojoPagedDecodeGQA.get_backend_impl("pallas", strict=True)()
+    op_r = m.MojoPagedDecodeGQA.get_backend_impl("ref")()
+    out = op_p(*args)
+    assert out.dtype == jnp.float16
+    op_p.forward_diff_with(op_r, *args, atol=2e-2, rtol=2e-2)
+
+
+def test_pallas_group_gemm_fp16():
+    """fp16 grouped matmul (TTXGroupGemm float16 rows in the reference
+    table) through the f16 bounce."""
+    rng = np.random.default_rng(11)
+    G, M, K, N = 4, 64, 128, 128
+    x = jnp.asarray(rng.standard_normal((M, K)).astype(np.float16))
+    w = jnp.asarray(rng.standard_normal((G, K, N)).astype(np.float16) * 0.1)
+    gl = jnp.asarray([24, 8, 24, 8], jnp.int32)
+    op_p = m.MojoGroupGemm.get_backend_impl("pallas", strict=True)(weight=w)
+    op_r = m.MojoGroupGemm.get_backend_impl("ref")(weight=w)
+    out = op_p(x, gl)
+    assert out.dtype == jnp.float16
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(op_r(x, gl), np.float32),
+                               atol=5e-2, rtol=5e-2)
+
+
 def test_pallas_residual_add_rmsnorm_matches_ref():
     for pos in ("pre", "post"):
         op_p = m.MojoResidualAddRMSNorm.get_backend_impl("pallas", strict=True)(64, 1e-6, pos)

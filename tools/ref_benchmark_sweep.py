@@ -384,11 +384,18 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default=None, help="comma-separated op-name filter")
     ap.add_argument("--dry", action="store_true", help="build workloads only (CPU)")
-    ap.add_argument("--out", default=os.path.join(REPO, "docs", "benchmark.md"))
-    ap.add_argument("--json", default=os.path.join(REPO, "docs", "benchmark.json"))
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--json", default=None)
     ap.add_argument("--resume", action="store_true",
-                    help="skip rows already present in --json")
+                    help="skip rows already measured in --json")
     args = ap.parse_args(argv)
+
+    # dry-run artifacts must never shadow the measured table in docs/
+    doc_dir = "/tmp" if args.dry else os.path.join(REPO, "docs")
+    if args.out is None:
+        args.out = os.path.join(doc_dir, "benchmark.md")
+    if args.json is None:
+        args.json = os.path.join(doc_dir, "benchmark.json")
 
     if args.dry:
         import jax
@@ -411,7 +418,10 @@ def main(argv=None):
     if args.resume and os.path.exists(args.json):
         with open(args.json) as f:
             for rec in json.load(f)["rows"]:
-                done[(rec["op"], rec["prefix"], rec["params"], rec["ref_us"])] = rec
+                us = rec.get("us")
+                # only measured rows count as done; None/NaN rows re-run
+                if isinstance(us, float) and not math.isnan(us):
+                    done[(rec["op"], rec["prefix"], rec["params"], rec["ref_us"])] = rec
 
     platform = jax.devices()[0].platform
     print(f"platform={platform}, {len(rows)} reference rows", flush=True)
@@ -440,7 +450,8 @@ def main(argv=None):
                 if args.dry:
                     out = jax.jit(fn)(*fargs)
                     jax.block_until_ready(out)
-                    us = float("nan")
+                    us = None
+                    note = (note + " " if note else "") + "dry-run ok (not measured)"
                 else:
                     us = device_time_us(fn, *fargs, thread_idx=thread_idx)
                 measured_cache[wl_key] = (us, note)
@@ -460,8 +471,14 @@ def main(argv=None):
 
 def _write(args, results, platform, partial):
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    clean = [
+        {**r, "us": None} if isinstance(r.get("us"), float) and math.isnan(r["us"]) else r
+        for r in results
+    ]
     with open(args.json, "w") as f:
-        json.dump({"platform": platform, "generated": stamp, "rows": results}, f, indent=1)
+        json.dump({"platform": platform, "generated": stamp, "rows": clean}, f,
+                  indent=1, allow_nan=False)
+        f.write("\n")
     lines = [
         "# Per-op benchmark vs the reference's published table",
         "",
