@@ -1,0 +1,110 @@
+"""Pallas TPU kernel: packed-int4 x int8 -> int32 matmul, fused dequant.
+
+Dense w4a8 serving GEMM: weights ride HBM at 0.5 bytes/param (the decode
+bottleneck at small M is weight bandwidth), are unpacked to int8 nibbles
+in VMEM and fed to the int8 MXU path; the per-token x per-channel dequant
+epilogue runs on the int32 accumulator before the single output write.
+
+Packed format (``pack_int4_rows`` in core/operators/gemm.py): weights are
+stored transposed (N, K) and packed along N in 128-row blocks — packed
+row ``j*64 + r`` holds output channels ``j*128 + r`` (low nibble, two's
+complement) and ``j*128 + 64 + r`` (high nibble).  The kernel's bn=128
+block then unpacks with one sublane concat, preserving channel order:
+
+    lo = ((p & 15) ^ 8) - 8        hi = p >> 4   (arithmetic)
+    U  = concat([lo, hi], axis=0)  # (128, bk) int8, rows in order
+
+Extends the reference's w4a8 support (int4 experts only, reference
+moe.py:566-667) to dense projections — used for the MojoQuantGemm
+``weight_dtype=int4`` contract and the cheap speculative-decoding draft.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BN = 128  # packed-format row-block (64 packed rows -> 128 channels)
+
+
+def _unpack_block(p):
+    """(bnh, bk) packed int8 -> (2*bnh, bk) int8 nibbles, rows in order.
+
+    Nibble arithmetic runs in int32: Mosaic has no 8-bit vector
+    sub/shift lowering (`failed to legalize arith.subi` on vector<i8>).
+    """
+    p32 = p.astype(jnp.int32)
+    lo = jnp.bitwise_xor(jnp.bitwise_and(p32, 15), 8) - 8
+    hi = jnp.right_shift(p32, 4)  # arithmetic: sign of the byte rides the high nibble
+    return jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)
+
+
+def _int4_mm_kernel(x_ref, w_ref, is_ref, ws_ref, o_ref, acc_ref, *, k_chunks: int):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    u = _unpack_block(w_ref[...])  # (BN, bk) int8
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...], u, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(k == k_chunks - 1)
+    def _():
+        scale = is_ref[0, :][:, None] * ws_ref[0, :][None, :]
+        o_ref[...] = (acc_ref[...].astype(jnp.float32) * scale).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "bm", "bk", "interpret"))
+def int4_scaled_matmul(
+    x: jax.Array,            # (M, K) int8
+    w_packed: jax.Array,     # (N//2, K) int8, pack_int4_rows format
+    input_scale: jax.Array,  # (M,) fp
+    weight_scale: jax.Array, # (N,) fp
+    out_dtype=jnp.bfloat16,
+    bm: int = 256,
+    bk: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """out[m, n] = (sum_k x[m,k]·unpack(w)[n,k]) · input_scale[m] · weight_scale[n]."""
+    M, K = x.shape
+    N = w_packed.shape[0] * 2
+    bm, bk = min(bm, M), min(bk, K)
+    if M % bm or K % bk or N % BN or bm % 8 or bk % 128:
+        raise ValueError(f"unsupported int4 gemm geometry M={M} K={K} N={N} "
+                         f"bm={bm} bk={bk}")
+    k_chunks = K // bk
+    is_row = input_scale.astype(jnp.float32).reshape(1, M)
+    ws_row = weight_scale.astype(jnp.float32).reshape(1, N)
+
+    kernel = pl.pallas_call(
+        functools.partial(_int4_mm_kernel, k_chunks=k_chunks),
+        grid=(M // bm, N // BN, k_chunks),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+            pl.BlockSpec((BN // 2, bk), lambda i, j, k: (j, k)),
+            pl.BlockSpec((1, bm), lambda i, j, k: (0, i)),
+            pl.BlockSpec((1, BN), lambda i, j, k: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, BN), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, BN), jnp.int32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * K * N,
+            bytes_accessed=M * K + K * N // 2 + M * N * jnp.dtype(out_dtype).itemsize,
+            transcendentals=0,
+        ),
+    )
+    return kernel(x, w_packed, is_row, ws_row)

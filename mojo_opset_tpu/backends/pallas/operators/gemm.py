@@ -10,6 +10,7 @@ import jax
 import jax.numpy as jnp
 
 from mojo_opset_tpu.backends.pallas.kernels.group_gemm import grouped_matmul
+from mojo_opset_tpu.backends.pallas.kernels.int4_matmul import int4_scaled_matmul
 from mojo_opset_tpu.backends.pallas.kernels.int8_matmul import int8_scaled_matmul
 from mojo_opset_tpu.core.operators.gemm import MojoGroupGemm, MojoQuantGemm
 from mojo_opset_tpu.utils.platform import pallas_interpret_mode
@@ -65,6 +66,15 @@ class PallasQuantGemm(MojoQuantGemm):
         # geometry the kernel cannot tile: fall back to the XLA dot path
         if M % 8 or K % 128 or N % 128:
             return super().forward(input, input_scale)
+        if self.weight_dtype == "int4":
+            bk4 = next(b for b in (512, 256, 128) if K % b == 0)
+            bm4 = next(b for b in (256, 128, 64, 32, 16, 8) if M % b == 0)
+            return int4_scaled_matmul(
+                input.astype(jnp.int8), self.weight,
+                input_scale.reshape(-1), self.weight_scale,
+                out_dtype=self.output_dtype, bm=bm4, bk=bk4,
+                interpret=pallas_interpret_mode(),
+            )
         bm = 512 if M % 512 == 0 else (256 if M % 256 == 0 else
                                        next(b for b in (128, 64, 32, 16, 8) if M % b == 0))
         bn = 512 if N % 512 == 0 else (256 if N % 256 == 0 else 128)

@@ -112,12 +112,45 @@ class MojoGroupGemm(MojoOperator):
         return f"weight_shape={tuple(self.weight.shape)}, weight_dtype={self.weight.dtype}, trans_weight={self.trans_weight}"
 
 
+INT4_BLOCK = 128  # packed-int4 row-block (see pack_int4_rows)
+
+
+def pack_int4_rows(w_q: jax.Array) -> jax.Array:
+    """Pack int4 values (int8 storage, range [-8, 7]) two-per-byte along
+    the OUTPUT-channel axis of a transposed (N, K) weight, in 128-row
+    blocks: packed row ``j*64 + r`` carries channel ``j*128 + r`` in the
+    low nibble and ``j*128 + 64 + r`` in the high nibble.  This layout
+    lets the Pallas kernel (backends/pallas/kernels/int4_matmul.py)
+    unpack a block with a single sublane concat, channel order preserved.
+    Extends the reference's int4 expert packing (moe.py:566-573) to dense
+    weights."""
+    n, k = w_q.shape
+    assert n % INT4_BLOCK == 0, f"int4 packing needs N % {INT4_BLOCK} == 0, got {n}"
+    b = w_q.astype(jnp.int8).reshape(n // INT4_BLOCK, INT4_BLOCK, k)
+    lo, hi = b[:, : INT4_BLOCK // 2], b[:, INT4_BLOCK // 2:]
+    packed = jnp.bitwise_or(jnp.left_shift(hi, 4), jnp.bitwise_and(lo, 15))
+    return packed.astype(jnp.int8).reshape(n // 2, k)
+
+
+def unpack_int4_rows(packed: jax.Array) -> jax.Array:
+    """Inverse of :func:`pack_int4_rows`: (N//2, K) int8 -> (N, K) int8."""
+    n2, k = packed.shape
+    b = packed.reshape(n2 * 2 // INT4_BLOCK, INT4_BLOCK // 2, k)
+    lo = (jnp.bitwise_xor(jnp.bitwise_and(b, 15), 8) - 8).astype(jnp.int8)
+    hi = jnp.right_shift(b, 4).astype(jnp.int8)
+    return jnp.concatenate([lo, hi], axis=1).reshape(n2 * 2, k)
+
+
 class MojoQuantGemm(MojoOperator):
-    """int8 x int8 -> int32 GEMM dequantized by per-token input scale and
-    per-channel weight scale; output cast to ``output_dtype``.
+    """int8 (or packed-int4) x int8 -> int32 GEMM dequantized by per-token
+    input scale and per-channel weight scale; output cast to
+    ``output_dtype``.
 
     Weight stored ``(K, N)`` (or ``(N, K)`` when ``trans_weight``), weight
-    scale ``(N,)``. Reference gemm.py:127-231.
+    scale ``(N,)``. Reference gemm.py:127-231.  ``weight_dtype="int4"``
+    (beyond the reference's dense contract — it ships int4 only for MoE
+    experts, moe.py:452-667) stores the weight packed two-channels-per-byte
+    as ``(N//2, K)`` (:func:`pack_int4_rows`); requires ``trans_weight``.
     """
 
     def __init__(
@@ -134,10 +167,17 @@ class MojoQuantGemm(MojoOperator):
         self.in_features = in_features
         self.out_features = out_features
         self.quant_dtype = jnp.dtype(quant_dtype)
-        self.weight_dtype = jnp.dtype(weight_dtype)
+        self.weight_dtype = "int4" if weight_dtype == "int4" else jnp.dtype(weight_dtype)
         assert self.quant_dtype == jnp.int8, f"QuantGemm only supports int8 activations, got {quant_dtype}"
-        assert self.weight_dtype == jnp.int8, f"QuantGemm only supports int8 weights, got {weight_dtype}"
-        self.weight_shape = (out_features, in_features) if trans_weight else (in_features, out_features)
+        assert self.weight_dtype in ("int4", jnp.dtype(jnp.int8)), (
+            f"QuantGemm only supports int8/int4 weights, got {weight_dtype}")
+        if self.weight_dtype == "int4":
+            assert trans_weight, "int4 weights require trans_weight=True (packed (N//2, K))"
+            assert out_features % INT4_BLOCK == 0, (
+                f"int4 weights need out_features % {INT4_BLOCK} == 0, got {out_features}")
+            self.weight_shape = (out_features // 2, in_features)
+        else:
+            self.weight_shape = (out_features, in_features) if trans_weight else (in_features, out_features)
         self.weight = jnp.zeros(self.weight_shape, jnp.int8)
         self.weight_scale = jnp.ones((out_features,), jnp.bfloat16)
         self.output_dtype = jnp.dtype(output_dtype)
@@ -147,6 +187,8 @@ class MojoQuantGemm(MojoOperator):
         if input.ndim != 2:
             raise ValueError(f"input must be 2D, got shape {tuple(input.shape)}.")
         weight = self.weight
+        if self.weight_dtype == "int4":
+            weight = unpack_int4_rows(weight)  # (N, K)
         if self.trans_weight:
             weight = weight.T  # (K, N)
         # int8 x int8 with int32 accumulation on the MXU.

@@ -97,13 +97,15 @@ class Qwen3Attention(Module):
         self.num_kv_heads = Hkv
         self.head_dim = D
         bias = c.attention_bias
-        # w4a8 (MoE experts int4) still runs the attention projections w8a8 —
-        # int4 weights exist only for the grouped experts (reference
-        # moe.py:452-667); there is no int4 MojoQuantGemm contract.
+        # dense w4a8 packs int4 into every projection via the extended
+        # MojoQuantGemm weight_dtype="int4" contract (beyond the reference,
+        # which ships int4 only for MoE experts — moe.py:452-667)
         self.quant = c.quant in ("w8a8", "w4a8")
         if self.quant:
-            assert not bias, "w8a8 serving mode has no projection-bias support"
-            mk = lambda k, n: MojoQuantGemm(k, n, output_dtype=c.dtype, trans_weight=True)
+            assert not bias, "quantized serving mode has no projection-bias support"
+            wdt = "int4" if c.quant == "w4a8" else "int8"
+            mk = lambda k, n: MojoQuantGemm(k, n, output_dtype=c.dtype,
+                                            trans_weight=True, weight_dtype=wdt)
             self.q_proj = mk(c.hidden_size, H * D)
             self.k_proj = mk(c.hidden_size, Hkv * D)
             self.v_proj = mk(c.hidden_size, Hkv * D)
@@ -246,14 +248,11 @@ class Qwen3MLP(Module):
     def __init__(self, config: Qwen3Config, key: jax.Array):
         c = config
         ks = jax.random.split(key, 3)
-        if c.quant == "w4a8":
-            raise NotImplementedError(
-                "w4a8 packs int4 into MoE experts only (Qwen3MoeConfig); "
-                "dense Qwen3 serving supports quant='w8a8'"
-            )
-        self.quant = c.quant == "w8a8"
+        self.quant = c.quant in ("w8a8", "w4a8")
         if self.quant:
-            mk = lambda k, n: MojoQuantGemm(k, n, output_dtype=c.dtype, trans_weight=True)
+            wdt = "int4" if c.quant == "w4a8" else "int8"
+            mk = lambda k, n: MojoQuantGemm(k, n, output_dtype=c.dtype,
+                                            trans_weight=True, weight_dtype=wdt)
             self.gate_proj = mk(c.hidden_size, c.intermediate_size)
             self.up_proj = mk(c.hidden_size, c.intermediate_size)
             self.down_proj = mk(c.intermediate_size, c.hidden_size)
@@ -277,7 +276,7 @@ class Qwen3DecoderLayer(Module):
     def __init__(self, config: Qwen3Config, key: jax.Array):
         k1, k2 = jax.random.split(key)
         norm_cls = (
-            MojoRMSNormQuant if config.quant == "w8a8" else MojoRMSNorm
+            MojoRMSNormQuant if config.quant in ("w8a8", "w4a8") else MojoRMSNorm
         )  # fused norm+quant feeds int8 straight into the projections
         self.input_layernorm = norm_cls(config.hidden_size, eps=config.rms_norm_eps)
         self.self_attn = Qwen3Attention(config, k1)
@@ -356,12 +355,15 @@ class Qwen3ForCausalLM(Module):
         self._config = config
         self.model = Qwen3Model(config, k1)
         self.lm_head_quant = (
-            MojoDynamicQuant() if config.quant == "w8a8" and not config.tie_word_embeddings
+            MojoDynamicQuant() if config.quant in ("w8a8", "w4a8") and not config.tie_word_embeddings
             else None
         )
         if config.tie_word_embeddings:
             self.lm_head = None
-        elif config.quant == "w8a8":
+        elif config.quant in ("w8a8", "w4a8"):
+            # the lm_head stays int8 under w4a8: per-channel int4 over the
+            # 151936-way softmax axis costs measurable logit fidelity for
+            # ~9% of the weight bytes
             self.lm_head = MojoQuantGemm(
                 config.hidden_size, config.vocab_size,
                 output_dtype=config.dtype, trans_weight=True,

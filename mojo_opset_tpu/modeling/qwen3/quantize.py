@@ -25,23 +25,37 @@ from mojo_opset_tpu.core.operators import MojoGemm, MojoQuantGemm
 from .modeling_qwen3 import Qwen3ForCausalLM
 
 
-def quantize_linear_weight(weight: jax.Array):
-    """(N, K) float weight -> (int8 (N, K), float32 scale (N,)) absmax."""
+def quantize_linear_weight(weight: jax.Array, weight_dtype: str = "int8"):
+    """(N, K) float weight -> (packed int8, float32 scale (N,)) absmax.
+
+    int8: per-out-channel absmax, qmax 127, stored (N, K).
+    int4: qmax 7, rows packed two-channels-per-byte -> (N//2, K)
+          (core.operators.gemm.pack_int4_rows block layout).
+    """
+    from mojo_opset_tpu.core.operators.gemm import pack_int4_rows
+
     w = weight.astype(jnp.float32)
-    scale = jnp.clip(jnp.max(jnp.abs(w), axis=1), 1e-8, None) / 127.0
-    w_i8 = jnp.clip(jnp.round(w / scale[:, None]), -127, 127).astype(jnp.int8)
-    return w_i8, scale
+    qmax = 7.0 if weight_dtype == "int4" else 127.0
+    scale = jnp.clip(jnp.max(jnp.abs(w), axis=1), 1e-8, None) / qmax
+    q = jnp.round(w / scale[:, None])
+    if weight_dtype == "int4":
+        return pack_int4_rows(jnp.clip(q, -8, 7).astype(jnp.int8)), scale
+    return jnp.clip(q, -127, 127).astype(jnp.int8), scale
 
 
 def _quantize_into(dst: MojoQuantGemm, src: MojoGemm) -> MojoQuantGemm:
-    assert src.bias is None, "w8a8 conversion does not support projection bias"
-    w_i8, scale = quantize_linear_weight(src.weight)  # both store (N, K)
-    return dst.replace(weight=w_i8, weight_scale=scale)
+    assert src.bias is None, "quantized conversion does not support projection bias"
+    wdt = "int4" if dst.weight_dtype == "int4" else "int8"
+    w_q, scale = quantize_linear_weight(src.weight, wdt)  # src stores (N, K)
+    return dst.replace(weight=w_q, weight_scale=scale)
 
 
-def quantize_qwen3(model: Qwen3ForCausalLM) -> Qwen3ForCausalLM:
-    """Return the w8a8 twin of a bf16 ``Qwen3ForCausalLM``."""
-    cfg = dataclasses.replace(model.qwen3_config, quant="w8a8")
+def quantize_qwen3(model: Qwen3ForCausalLM, weight_dtype: str = "int8") -> Qwen3ForCausalLM:
+    """Return the w8a8 (or w4a8, ``weight_dtype="int4"``) twin of a bf16
+    ``Qwen3ForCausalLM``.  Under w4a8 the lm_head stays int8 (logit
+    fidelity; see modeling_qwen3.py lm_head note)."""
+    mode = "w4a8" if weight_dtype == "int4" else "w8a8"
+    cfg = dataclasses.replace(model.qwen3_config, quant=mode)
     from mojo_opset_tpu.utils.init import skip_init_scope
 
     with skip_init_scope():  # every twin param is immediately overwritten

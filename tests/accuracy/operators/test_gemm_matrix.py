@@ -107,6 +107,60 @@ def test_quant_gemm_matrix(trans_weight, out_dtype):
     np.testing.assert_allclose(np.asarray(got, np.float64), want, rtol=tol, atol=tol)
 
 
+def test_quant_gemm_int4_dense_matrix():
+    """Dense packed-int4 weights (weight_dtype="int4", beyond the
+    reference's experts-only int4 — moe.py:452-667): exact integer parity
+    vs the unpacked int8 math, plus the pack/unpack row-block roundtrip."""
+    from mojo_opset_tpu.core.operators.gemm import pack_int4_rows, unpack_int4_rows
+
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.integers(-8, 8, (256, 32)), jnp.int8)
+    packed = pack_int4_rows(q)
+    assert packed.shape == (128, 32)
+    np.testing.assert_array_equal(np.asarray(unpack_int4_rows(packed)), np.asarray(q))
+
+    T, K, N = 6, 32, 256
+    x_q = jnp.asarray(rng.integers(-127, 128, (T, K)), jnp.int8)
+    w_q = jnp.asarray(rng.integers(-8, 8, (N, K)), jnp.int8)
+    x_scale = jnp.asarray(rng.uniform(0.01, 0.1, (T,)), jnp.float32)
+    w_scale = jnp.asarray(rng.uniform(0.01, 0.1, (N,)), jnp.float32)
+    op = m.MojoQuantGemm(K, N, output_dtype=jnp.float32, trans_weight=True,
+                         weight_dtype="int4")
+    op = op.replace(weight=pack_int4_rows(w_q), weight_scale=w_scale)
+    got = op(x_q, x_scale)
+    want = (np.asarray(x_q, np.float64) @ np.asarray(w_q, np.float64).T) \
+        * np.asarray(x_scale, np.float64)[:, None] \
+        * np.asarray(w_scale, np.float64)[None, :]
+    np.testing.assert_allclose(np.asarray(got, np.float64), want, rtol=1e-5, atol=1e-5)
+
+
+def test_quant_gemm_int4_pallas_kernel_parity():
+    """int4_scaled_matmul (interpret mode) vs the ref-tier unpacked math."""
+    from mojo_opset_tpu.backends.pallas.kernels.int4_matmul import int4_scaled_matmul
+    from mojo_opset_tpu.core.operators.gemm import pack_int4_rows
+
+    rng = np.random.default_rng(4)
+    M, K, N = 16, 256, 384
+    x = jnp.asarray(rng.integers(-127, 128, (M, K)), jnp.int8)
+    w = jnp.asarray(rng.integers(-8, 8, (N, K)), jnp.int8)
+    xs = jnp.asarray(rng.uniform(0.5, 2.0, (M,)), jnp.float32)
+    ws = jnp.asarray(rng.uniform(0.5, 2.0, (N,)), jnp.float32)
+    got = int4_scaled_matmul(x, pack_int4_rows(w), xs, ws, out_dtype=jnp.float32,
+                             bm=16, bk=128, interpret=True)
+    want = (np.asarray(x, np.float64) @ np.asarray(w, np.float64).T) \
+        * np.asarray(xs, np.float64)[:, None] * np.asarray(ws, np.float64)[None, :]
+    np.testing.assert_allclose(np.asarray(got, np.float64), want, rtol=1e-5, atol=1e-5)
+
+
+def test_quant_gemm_int4_ctor_validation():
+    with pytest.raises(AssertionError):
+        m.MojoQuantGemm(8, 256, weight_dtype="int4")  # needs trans_weight
+    with pytest.raises(AssertionError):
+        m.MojoQuantGemm(8, 200, weight_dtype="int4", trans_weight=True)  # N % 128
+    op = m.MojoQuantGemm(8, 256, weight_dtype="int4", trans_weight=True)
+    assert op.weight.shape == (128, 8)
+
+
 def test_quant_gemm_rejects_bad_rank_and_dtype():
     op = m.MojoQuantGemm(8, 8)
     with pytest.raises(ValueError):

@@ -65,6 +65,26 @@ def test_quant_logits_track_bf16(models):
     assert int(lb.argmax()) == int(lq.argmax())
 
 
+def test_w4a8_dense_logits_track_bf16():
+    """Dense w4a8 (packed-int4 projections, int8 lm_head): noisier than
+    w8a8 but must keep logit direction and greedy argmax on a tiny model.
+    All projection out_features must be multiples of 128 (int4 row-block)."""
+    import dataclasses
+    cfg = dataclasses.replace(_tiny_cfg(), num_key_value_heads=4)  # kv out = 4*32 = 128
+    base = Qwen3ForCausalLM(cfg, key=jax.random.PRNGKey(13))
+    qm = quantize_qwen3(base, weight_dtype="int4")
+    attn = qm.model.layers[0].self_attn
+    assert attn.q_proj.weight_dtype == "int4"
+    assert attn.q_proj.weight.shape == (128 // 2, 128)  # packed (N//2, K)
+    assert qm.lm_head.weight_dtype == jnp.int8  # lm_head stays int8
+    ids = np.array([3, 141, 59, 26, 200, 77, 12], np.int32)
+    lb = _logits(base, ids)
+    lq = _logits(qm, ids)
+    cos = float((lb * lq).sum() / (np.linalg.norm(lb) * np.linalg.norm(lq) + 1e-12))
+    assert cos > 0.98, f"w4a8 logits diverged: cos={cos}"
+    assert int(lb.argmax()) == int(lq.argmax())
+
+
 def test_quant_generation_runs(models):
     _, qm = models
     from mojo_opset_tpu.runtime import MojoGenerator, TopKSampler
