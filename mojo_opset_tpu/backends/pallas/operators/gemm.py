@@ -63,8 +63,13 @@ class PallasQuantGemm(MojoQuantGemm):
     def forward(self, input: jax.Array, input_scale: jax.Array) -> jax.Array:
         M, K = input.shape
         N = self.out_features
-        # geometry the kernel cannot tile: fall back to the XLA dot path
-        if M % 8 or K % 128 or N % 128:
+        # geometry the kernel cannot tile: fall back to the XLA dot path.
+        # Small M (decode shapes) also goes to XLA: both paths are weight-
+        # bandwidth-bound there and the XLA int8 dot sustains ~660-684 GB/s
+        # vs the Pallas kernel's ~480-500 (measured on v5e at M=8,
+        # tools/diagnose_int8_decode.py) — the kernel's VMEM pipeline only
+        # pays off once M is large enough to be MXU-bound.
+        if M % 8 or K % 128 or N % 128 or (M < 64 and self.weight_dtype != "int4"):
             return super().forward(input, input_scale)
         if self.weight_dtype == "int4":
             bk4 = next(b for b in (512, 256, 128) if K % b == 0)

@@ -103,9 +103,14 @@ class Qwen3Attention(Module):
         self.quant = c.quant in ("w8a8", "w4a8")
         if self.quant:
             assert not bias, "quantized serving mode has no projection-bias support"
-            wdt = "int4" if c.quant == "w4a8" else "int8"
-            mk = lambda k, n: MojoQuantGemm(k, n, output_dtype=c.dtype,
-                                            trans_weight=True, weight_dtype=wdt)
+            # w4a8 packs int4 per projection; widths the 128-row pack
+            # layout cannot cover stay int8 (gemm.py INT4_BLOCK)
+            from mojo_opset_tpu.core.operators.gemm import INT4_BLOCK
+
+            def mk(k, n, _q=c.quant, _dt=c.dtype):
+                wdt = "int4" if _q == "w4a8" and n % INT4_BLOCK == 0 else "int8"
+                return MojoQuantGemm(k, n, output_dtype=_dt,
+                                     trans_weight=True, weight_dtype=wdt)
             self.q_proj = mk(c.hidden_size, H * D)
             self.k_proj = mk(c.hidden_size, Hkv * D)
             self.v_proj = mk(c.hidden_size, Hkv * D)
@@ -250,9 +255,12 @@ class Qwen3MLP(Module):
         ks = jax.random.split(key, 3)
         self.quant = c.quant in ("w8a8", "w4a8")
         if self.quant:
-            wdt = "int4" if c.quant == "w4a8" else "int8"
-            mk = lambda k, n: MojoQuantGemm(k, n, output_dtype=c.dtype,
-                                            trans_weight=True, weight_dtype=wdt)
+            from mojo_opset_tpu.core.operators.gemm import INT4_BLOCK
+
+            def mk(k, n, _q=c.quant, _dt=c.dtype):
+                wdt = "int4" if _q == "w4a8" and n % INT4_BLOCK == 0 else "int8"
+                return MojoQuantGemm(k, n, output_dtype=_dt,
+                                     trans_weight=True, weight_dtype=wdt)
             self.gate_proj = mk(c.hidden_size, c.intermediate_size)
             self.up_proj = mk(c.hidden_size, c.intermediate_size)
             self.down_proj = mk(c.intermediate_size, c.hidden_size)

@@ -207,6 +207,157 @@ class SpeculativeDecoder:
         self._rollback(dsess, new_lens)
         return emitted, counts.astype(np.int64), jnp.asarray(next_cur, jnp.int32)
 
+    # -- fused window: R rounds in ONE executable ----------------------------
+    def _fused_window_fn(self, target, draft, cur, t_caches, d_caches,
+                         lens0, t_bt, d_bt, k, rounds):
+        """R speculative rounds entirely on device (greedy mode).
+
+        The unfused ``round()`` pays several host<->device transfers per
+        round (draft tokens out, verify logits out, metadata rebuild in)
+        — ~2 RTTs/round, which on a tunneled TPU (~30 ms RTT) dwarfs the
+        compute.  Here the per-sequence lengths live on device and the
+        draft scan, target verify, acceptance and length bookkeeping all
+        run inside one ``lax.scan`` over rounds; the host sees only the
+        final ``(emitted, counts)`` buffers.  Blocks for the worst case
+        (rounds*(k+1) tokens/seq) are pre-reserved by the caller.
+        """
+        from mojo_opset_tpu.runtime.session import AttentionMetadata
+
+        B = cur.shape[0]
+        ones = jnp.ones((B,), jnp.int32)
+
+        def one_round(carry, _):
+            cur, t_caches, d_caches, lens = carry
+
+            def dstep(c, i):
+                tok, dc = c
+                meta = AttentionMetadata(
+                    q_lens=ones, cu_q_lens=None,
+                    total_seq_lens=lens + i + 1, context_kv_lens=lens + i,
+                    block_tables=d_bt, is_prefill=False,
+                )
+                logits, dc = draft(tok, lens + i, meta, dc, lm_head_indices=None)
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return (nxt, dc), nxt
+
+            # k+1 draft steps: the extra step stores d_k's KV so an
+            # all-accepted round leaves the draft ready at context+k+1
+            (_, d_caches), d_toks = jax.lax.scan(
+                dstep, (cur, d_caches), jnp.arange(k + 1, dtype=jnp.int32))
+            d_bt_toks = jnp.swapaxes(d_toks[:k], 0, 1)  # (B, k)
+
+            # ONE chunked-prefill verify over [cur, d_1..d_k] per sequence
+            window = jnp.concatenate([cur[:, None], d_bt_toks], axis=1)
+            ids = window.reshape(-1)
+            pos = (lens[:, None] + jnp.arange(k + 1, dtype=jnp.int32)).reshape(-1)
+            cu = jnp.arange(B + 1, dtype=jnp.int32) * (k + 1)
+            meta = AttentionMetadata(
+                q_lens=jnp.full((B,), k + 1, jnp.int32), cu_q_lens=cu,
+                total_seq_lens=lens + k + 1, context_kv_lens=lens,
+                block_tables=t_bt, is_prefill=True,
+            )
+            logits, t_caches = target(ids, pos, meta, t_caches, lm_head_indices=None)
+            t_arg = jnp.argmax(logits.reshape(B, k + 1, -1), axis=-1).astype(jnp.int32)
+
+            match = d_bt_toks == t_arg[:, :k]
+            m = jnp.where(match.all(axis=1), k, jnp.argmin(match, axis=1)).astype(jnp.int32)
+            next_cur = jnp.take_along_axis(t_arg, m[:, None], axis=1)[:, 0]
+            cols = jnp.arange(k + 1, dtype=jnp.int32)[None, :]
+            emitted = jnp.where(
+                cols == m[:, None], next_cur[:, None],
+                jnp.concatenate([d_bt_toks, jnp.zeros((B, 1), jnp.int32)], axis=1))
+            return (next_cur, t_caches, d_caches, lens + 1 + m), (emitted, m + 1)
+
+        (cur, t_caches, d_caches, lens), (emit, counts) = jax.lax.scan(
+            one_round, (cur, t_caches, d_caches, lens0), None, length=rounds)
+        return emit, counts, cur, lens, t_caches, d_caches
+
+    def fused_window(self, sessions, cur_tokens, rounds: int):
+        """Run ``rounds`` greedy speculative rounds in one executable.
+
+        Returns ``(emitted (rounds, B, k+1) np.int32, counts (rounds, B)
+        np.int64, next_cur (B,) device)``; both sessions' lengths are
+        synced from the device afterwards (one transfer per window)."""
+        assert self.mode == "greedy", "fused windows support greedy mode only"
+        tsess, dsess = sessions
+        B, k = dsess.batch_size, self.k
+        # worst case both caches advance rounds*(k+1) tokens/seq
+        budget = np.full(B, rounds * (k + 1), np.int32)
+        lens0 = tsess.total_seq_lens.copy()
+        tsess._reserve(budget)
+        dsess._reserve(budget)
+        t_bt = jnp.asarray(tsess.block_tables, jnp.int32)
+        d_bt = jnp.asarray(dsess.block_tables, jnp.int32)
+        l0 = jnp.asarray(lens0, jnp.int32)
+
+        fkey = ("fused", rounds, k, B, int(t_bt.shape[1]), int(d_bt.shape[1]),
+                self._cache_sig(tsess.caches), self._cache_sig(dsess.caches))
+        runner = self._runner_memo.get(fkey)
+        if runner is None:
+            runner = jax.jit(self._fused_window_fn, static_argnums=(8, 9),
+                             donate_argnums=(3, 4))
+            self._runner_memo[fkey] = runner
+        emit, counts, next_cur, lens, tsess.caches, dsess.caches = runner(
+            self.target, self.draft, cur_tokens, tsess.caches, dsess.caches,
+            l0, t_bt, d_bt, k, rounds)
+        lens_np = np.asarray(lens, np.int32)
+        self._rollback(tsess, lens_np)
+        self._rollback(dsess, lens_np)
+        return np.asarray(emit, np.int32), np.asarray(counts, np.int64), next_cur
+
+    def generate_fused(self, input_ids, q_lens, max_new_tokens: int,
+                       eos_token_id: Optional[int] = None,
+                       rounds_per_window: Optional[int] = None):
+        """Greedy speculative generate using fused windows.
+
+        Emits the same stream as :meth:`generate` (both are lossless vs
+        vanilla greedy target decoding — tested); the host touches the
+        device once per window instead of twice per round."""
+        q_lens = np.asarray(q_lens, np.int32)
+        B = q_lens.size
+        sessions = self.new_sessions(B)
+        cur = self.prefill(sessions, input_ids, q_lens)
+
+        out = np.zeros((B, max_new_tokens), np.int32)
+        filled = np.zeros(B, np.int64)
+        done = np.zeros(B, bool)
+        out[:, 0] = np.asarray(cur)
+        filled[:] = 1
+        if eos_token_id is not None:
+            done |= out[:, 0] == eos_token_id
+        # first window sized for full acceptance (k+1 tokens/round); if
+        # acceptance ran lower, top up with small fixed-size windows so at
+        # most two window shapes ever compile
+        if rounds_per_window is None:
+            rounds_per_window = max(1, -(-(int(max_new_tokens) - 1) // (self.k + 1)))
+        topup = min(4, rounds_per_window)
+        rounds, first = 0, True
+        while ((filled < max_new_tokens) & ~done).any():
+            w = rounds_per_window if first else topup
+            first = False
+            emitted, counts, cur = self.fused_window(sessions, cur, w)
+            rounds += w
+            for r in range(w):
+                for b in range(B):
+                    if done[b] or filled[b] >= max_new_tokens:
+                        continue
+                    take = int(min(counts[r, b], max_new_tokens - filled[b]))
+                    chunk = emitted[r, b, :take]
+                    if eos_token_id is not None:
+                        hits = np.nonzero(chunk == eos_token_id)[0]
+                        if hits.size:
+                            take = int(hits[0]) + 1
+                            chunk = chunk[:take]
+                            done[b] = True
+                    out[b, filled[b]:filled[b] + take] = chunk
+                    filled[b] += take
+        if eos_token_id is not None:
+            for b in range(B):
+                if done[b] and filled[b] < max_new_tokens:
+                    out[b, filled[b]:] = eos_token_id
+        self.last_rounds = rounds
+        return out
+
     # -- full generate loop --------------------------------------------------
     def generate(self, input_ids, q_lens, max_new_tokens: int,
                  key: Optional[jax.Array] = None,

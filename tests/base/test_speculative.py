@@ -120,3 +120,48 @@ def test_speculative_eos_clamping(models):
     first = int(np.nonzero(out[0] == eos)[0][0])
     np.testing.assert_array_equal(out[0, :first + 1], plain[0, :first + 1])
     assert (out[0, first:] == eos).all()
+
+
+def test_fused_window_is_lossless(models):
+    """generate_fused (all rounds on device, one executable per window)
+    must emit the same stream as the unfused loop AND vanilla greedy."""
+    target, draft = models
+    ids = np.array([5, 9, 2, 88, 41, 6, 100, 64, 31, 7], np.int32)
+    lens = np.array([6, 4], np.int32)
+    steps = 12
+
+    want = _vanilla_greedy(target, ids, lens, steps)
+    spec = SpeculativeDecoder(target, draft, k=3, mode="greedy", block_size=16)
+    got = spec.generate_fused(ids, lens, max_new_tokens=steps)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fused_window_eos_clamping(models):
+    target, draft = models
+    ids = np.array([5, 9, 2, 88, 41, 6], np.int32)
+    lens = np.array([6], np.int32)
+    spec = SpeculativeDecoder(target, draft, k=3, mode="greedy", block_size=16)
+    plain = spec.generate_fused(ids, lens, max_new_tokens=10)
+    eos = int(plain[0, 3])
+    spec2 = SpeculativeDecoder(target, draft, k=3, mode="greedy", block_size=16)
+    out = spec2.generate_fused(ids, lens, max_new_tokens=10, eos_token_id=eos)
+    first = int(np.nonzero(out[0] == eos)[0][0])
+    np.testing.assert_array_equal(out[0, :first + 1], plain[0, :first + 1])
+    assert (out[0, first:] == eos).all()
+
+
+def test_fused_window_w4a8_draft(models):
+    """The serving configuration the bench uses: target bf16/fp32, draft =
+    the packed-int4 (w4a8) twin. Lossless in greedy mode by construction."""
+    from mojo_opset_tpu.modeling.qwen3 import quantize_qwen3
+
+    target, _ = models
+    draft = quantize_qwen3(target, weight_dtype="int4")
+    ids = np.array([5, 9, 2, 88, 41, 6], np.int32)
+    lens = np.array([6], np.int32)
+    steps = 10
+
+    want = _vanilla_greedy(target, ids, lens, steps)
+    spec = SpeculativeDecoder(target, draft, k=4, mode="greedy", block_size=16)
+    got = spec.generate_fused(ids, lens, max_new_tokens=steps)
+    np.testing.assert_array_equal(got, want)

@@ -50,17 +50,23 @@ def bench_gemms():
         ws = jnp.asarray(rng.uniform(0.5, 2.0, (N,)), jnp.bfloat16)
         w_bf = jnp.asarray(rng.standard_normal((N, K)), jnp.bfloat16)
 
-        gemm = m.MojoGemm(K, N, trans_weight=True).replace(weight=w_bf)
+        gemm = m.MojoGemm(K, N, bias=False).replace(weight=w_bf)
         qg_pallas = m.MojoQuantGemm.get_backend_impl("pallas", strict=True)(
             K, N, trans_weight=True).replace(weight=w_i8, weight_scale=ws)
         qg_ref = m.MojoQuantGemm.get_backend_impl("ref")(
             K, N, trans_weight=True).replace(weight=w_i8, weight_scale=ws)
+        from mojo_opset_tpu.core.operators.gemm import pack_int4_rows
+        w_i4 = jnp.asarray(rng.integers(-8, 8, (N, K)), jnp.int8)
+        qg_i4 = m.MojoQuantGemm.get_backend_impl("pallas", strict=True)(
+            K, N, trans_weight=True, weight_dtype="int4").replace(
+            weight=pack_int4_rows(w_i4), weight_scale=ws)
 
         out = [f"{name:9s} M={M} K={K} N={N}"]
         for label, fn, fargs, wbytes in (
             ("bf16_gemm", lambda x: gemm(x), (x_bf,), N * K * 2),
             ("quant_pallas", lambda x, s: qg_pallas(x, s), (x_i8, xs), N * K),
             ("quant_ref", lambda x, s: qg_ref(x, s), (x_i8, xs), N * K),
+            ("quant_int4", lambda x, s: qg_i4(x, s), (x_i8, xs), N * K // 2),
         ):
             try:
                 us = device_time_us(fn, *fargs)
