@@ -207,13 +207,20 @@ def bench_qwen3_e2e(rec: dict):
         return time.perf_counter() - t0
 
     run_k(2)  # settle
-    t4 = min(run_k(4) for _ in range(2))
-    t8 = min(run_k(8) for _ in range(2))
-    prefill_s = (t8 - t4) / 4
+    # median +/- spread over >=5 marginal estimates (VERDICT r2 weak #7:
+    # min-of-best-of-marginal was the most flattering estimator available
+    # and drifted 63-93% across runs — medians are comparable round to round)
+    estimates = sorted(max((run_k(8) - run_k(4)) / 4, 1e-9) for _ in range(5))
+    prefill_s = estimates[len(estimates) // 2]
     rec["qwen3_prefill512_ms"] = round(prefill_s * 1e3, 2)
+    rec["qwen3_prefill512_ms_spread"] = [
+        round(estimates[0] * 1e3, 2), round(estimates[-1] * 1e3, 2)]
     model_flops = 2 * n_params * S
-    rec["qwen3_prefill512_mfu"] = round(
+    rec["qwen3_prefill512_mfu_median"] = round(
         model_flops / prefill_s / (V5E_BF16_TFLOPS * 1e12), 3
+    )
+    rec["qwen3_prefill512_mfu_best"] = round(
+        model_flops / estimates[0] / (V5E_BF16_TFLOPS * 1e12), 3
     )
     return rec
 
@@ -254,11 +261,12 @@ def bench_qwen3_int8_serving(rec: dict):
 
 
 def bench_qwen3_speculative(rec: dict):
-    """bs=1 latency: vanilla greedy vs speculative decoding with the w8a8
-    self-draft (runtime/speculative.py). At bs=1 decode is weight-HBM
-    bound; the int8 twin reads half the bytes and its greedy stream
-    matches the bf16 target on most steps, so k accepted drafts + one
-    verify forward beat k+1 vanilla steps."""
+    """bs=1 latency: vanilla greedy vs FUSED speculative decoding with the
+    w4a8 self-draft (runtime/speculative.py generate_fused). At bs=1
+    decode is weight-HBM bound; the packed-int4 twin reads ~1/4 the weight
+    bytes and its greedy stream matches the bf16 target on most steps, so
+    k accepted drafts + one verify forward beat k+1 vanilla steps — and
+    the fused window keeps every round on device (no per-round RTTs)."""
     from mojo_opset_tpu.modeling.qwen3 import Qwen3ForCausalLM, quantize_qwen3
     from mojo_opset_tpu.runtime.speculative import SpeculativeDecoder
     from mojo_opset_tpu.utils.init import build_on_device, device_init_scope
@@ -271,7 +279,7 @@ def bench_qwen3_speculative(rec: dict):
 
     def qmake(m):
         with device_init_scope():
-            return quantize_qwen3(m)
+            return quantize_qwen3(m, weight_dtype="int4")
 
     draft = jax.jit(qmake)(target)  # no donation: target stays live
 
@@ -285,11 +293,11 @@ def bench_qwen3_speculative(rec: dict):
     rec["qwen3_bs1_decode_ms_tok"] = round(per_step * 1e3, 2)
 
     spec = SpeculativeDecoder(target, draft, k=4, mode="greedy", block_size=64)
-    out = spec.generate(ids, lens, max_new_tokens=NEW)  # compile + warm
+    out = spec.generate_fused(ids, lens, max_new_tokens=NEW)  # compile + warm
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        out = spec.generate(ids, lens, max_new_tokens=NEW)
+        out = spec.generate_fused(ids, lens, max_new_tokens=NEW)
         device_sync(jnp.asarray(out))
         best = min(best, time.perf_counter() - t0)
     # subtract the shared prefill cost measured separately

@@ -69,17 +69,26 @@ class PallasQuantGemm(MojoQuantGemm):
         # vs the Pallas kernel's ~480-500 (measured on v5e at M=8,
         # tools/diagnose_int8_decode.py) — the kernel's VMEM pipeline only
         # pays off once M is large enough to be MXU-bound.
-        if M % 8 or K % 128 or N % 128 or (M < 64 and self.weight_dtype != "int4"):
-            return super().forward(input, input_scale)
-        if self.weight_dtype == "int4":
+        if self.weight_dtype == "int4" and K % 128 == 0:
+            # int4 must stay on the kernel at ANY M: the XLA fallback
+            # materializes the unpacked (N, K) int8 weight per call, which
+            # doubles the HBM traffic the packing exists to halve. Decode
+            # shapes (M=1..7) pad M up to the 8-row tile — activation
+            # bytes are negligible next to the weight stream.
+            pad = (-M) % 8
+            x = jnp.pad(input, ((0, pad), (0, 0))) if pad else input
+            s = jnp.pad(input_scale.reshape(-1), (0, pad)) if pad else input_scale.reshape(-1)
+            Mp = M + pad
             bk4 = next(b for b in (512, 256, 128) if K % b == 0)
-            bm4 = next(b for b in (256, 128, 64, 32, 16, 8) if M % b == 0)
-            return int4_scaled_matmul(
-                input.astype(jnp.int8), self.weight,
-                input_scale.reshape(-1), self.weight_scale,
+            bm4 = next(b for b in (256, 128, 64, 32, 16, 8) if Mp % b == 0)
+            out = int4_scaled_matmul(
+                x.astype(jnp.int8), self.weight, s, self.weight_scale,
                 out_dtype=self.output_dtype, bm=bm4, bk=bk4,
                 interpret=pallas_interpret_mode(),
             )
+            return out[:M] if pad else out
+        if M % 8 or K % 128 or N % 128 or M < 64:
+            return super().forward(input, input_scale)
         bm = 512 if M % 512 == 0 else (256 if M % 256 == 0 else
                                        next(b for b in (128, 64, 32, 16, 8) if M % b == 0))
         bn = 512 if N % 512 == 0 else (256 if N % 256 == 0 else 128)

@@ -289,3 +289,29 @@ def test_quant_gemm_int8_exactness_vs_int_math():
     got = np.asarray(op(x_q, jnp.ones((T,), jnp.float32)), np.int64)
     want = np.asarray(x_q, np.int64) @ np.asarray(w_q, np.int64)
     np.testing.assert_array_equal(got, want)
+
+
+def test_quant_gemm_int4_pallas_tier_pads_decode_m():
+    """The pallas tier must serve int4 at ANY M (decode M=1..7 pads up to
+    the 8-row tile) instead of falling back to the XLA path, which would
+    materialize the unpacked weight per call."""
+    from mojo_opset_tpu.core.operators.gemm import pack_int4_rows
+
+    rng = np.random.default_rng(5)
+    K, N = 128, 256
+    w_q = jnp.asarray(rng.integers(-8, 8, (N, K)), jnp.int8)
+    w_scale = jnp.asarray(rng.uniform(0.01, 0.1, (N,)), jnp.float32)
+    impl = m.MojoQuantGemm.get_backend_impl("pallas", strict=True)
+    op = impl(K, N, output_dtype=jnp.float32, trans_weight=True,
+              weight_dtype="int4")
+    op = op.replace(weight=pack_int4_rows(w_q), weight_scale=w_scale)
+    for M in (1, 3, 8):
+        x_q = jnp.asarray(rng.integers(-127, 128, (M, K)), jnp.int8)
+        x_scale = jnp.asarray(rng.uniform(0.01, 0.1, (M,)), jnp.float32)
+        got = op(x_q, x_scale)
+        assert got.shape == (M, N)
+        want = (np.asarray(x_q, np.float64) @ np.asarray(w_q, np.float64).T) \
+            * np.asarray(x_scale, np.float64)[:, None] \
+            * np.asarray(w_scale, np.float64)[None, :]
+        np.testing.assert_allclose(np.asarray(got, np.float64), want,
+                                   rtol=1e-5, atol=1e-5)

@@ -407,6 +407,11 @@ def main(argv=None):
 
     import jax
 
+    # persistent executable cache: a resumed / re-run sweep skips the
+    # 20-100 s remote compile per row
+    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from mojo_opset_tpu.benchmark.timing import device_time_us
 
     rows = parse_reference_table()
