@@ -1,1 +1,2 @@
 import mojo_opset_tpu.backends.pallas.functions.loss  # noqa: F401
+import mojo_opset_tpu.backends.pallas.functions.normalization  # noqa: F401

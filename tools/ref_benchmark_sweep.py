@@ -320,7 +320,11 @@ def _build_group_gemm(row, rng):
     weight = _randn(rng, (G, K, K), dt)
     group_list = jnp.asarray(np.full((G,), T // G), jnp.int32)
     op = m.MojoGroupGemm(weight=weight)
-    return (lambda x, gl: op(x, gl)), (x, group_list), (), f"weight=({G},{K},{K})"
+    # weight enters as a REAL jit argument: closed-over, the ~270 MB
+    # constant is baked into the HLO and blows the tunnel's
+    # remote-compile payload limit (HTTP 413)
+    fn = lambda x, gl, w: op.replace(weight=w)(x, gl)  # noqa: E731
+    return fn, (x, group_list, weight), (), f"weight=({G},{K},{K})"
 
 
 def _build_quant_batch_gemm_reduce_sum(row, rng):
@@ -341,8 +345,9 @@ def _build_quant_batch_gemm_reduce_sum(row, rng):
     x2s = jnp.asarray(rng.uniform(0.5, 2.0, (N,)).astype("float32")).astype(jnp.bfloat16)
     op = MojoQuantBatchGemmReduceSum(weight=x2)
     # x1 is int8: perturbation-by-carry needs a float first arg, so pass
-    # scales first
-    return (lambda s1, s2, x: op(x, s1, s2)), (x1s, x2s, x1), (), ""
+    # scales first; weight enters as a real jit argument (see GroupGemm)
+    fn = lambda s1, s2, x, w: op.replace(weight=w)(x, s1, s2)  # noqa: E731
+    return fn, (x1s, x2s, x1, x2), (), ""
 
 
 BUILDERS = {
