@@ -21,12 +21,14 @@ from mojo_opset_tpu.backends.xla.operators.kv_cache import (
     XlaStorePagedKVCache,
     _chunk_plan,
 )
+from mojo_opset_tpu.core.operators.kv_cache import f16_bitcast_store
 from mojo_opset_tpu.utils.platform import pallas_interpret_mode
 
 import jax.numpy as jnp
 
 
 class PallasStorePagedKVCache(XlaStorePagedKVCache):
+    @f16_bitcast_store
     def forward(
         self,
         key_states: jax.Array,

@@ -18,7 +18,10 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from mojo_opset_tpu.core.operators.kv_cache import MojoStorePagedKVCache
+from mojo_opset_tpu.core.operators.kv_cache import (
+    MojoStorePagedKVCache,
+    f16_bitcast_store,
+)
 
 
 def _chunk_plan(block_table, cu_q_lens, context_kv_lens, block_size):
@@ -52,6 +55,7 @@ def _chunk_plan(block_table, cu_q_lens, context_kv_lens, block_size):
 
 
 class XlaStorePagedKVCache(MojoStorePagedKVCache):
+    @f16_bitcast_store
     def forward(
         self,
         key_states: jax.Array,

@@ -21,9 +21,39 @@ import jax.numpy as jnp
 
 from mojo_opset_tpu.core.operators.sampling import (
     MojoTopKSampling,
+    MojoTopPFilter,
     MojoTopPSampling,
+    _nucleus_from_topk,
     _sample_from_probs,
 )
+
+
+class XlaTopPFilter(MojoTopPFilter):
+    """Nucleus filter over the hardware-binned approximate top-k heads.
+
+    The golden's exact ``lax.top_k`` at rand_top_k=100 over a 151k vocab
+    lowers to a full variadic sort (~23 ms on v5e); ``approx_max_k`` with
+    ``aggregate_to_topk=True`` returns the same sorted candidate heads in
+    the serving-standard approximate way (recall 0.95 of the true set —
+    the tail it can miss carries the least mass, exactly the tokens
+    nucleus filtering is about to cut).  Same trade as XlaTopKSampling.
+    """
+
+    recall_target: float = 0.95
+
+    def forward(
+        self, logits: jax.Array, top_p: float, min_tokens_to_keep: int, rand_top_k: int
+    ) -> Tuple[jax.Array, jax.Array]:
+        dtype = logits.dtype
+        lf = logits.astype(jnp.float32)
+        top_k = min(rand_top_k, lf.shape[-1])
+        topk_logits, topk_indices = jax.lax.approx_max_k(
+            lf, top_k, recall_target=self.recall_target, aggregate_to_topk=True
+        )
+        probs = _nucleus_from_topk(
+            topk_logits, top_p, min_tokens_to_keep, self.filter_value
+        )
+        return probs.astype(dtype), topk_indices
 
 
 class XlaTopKSampling(MojoTopKSampling):

@@ -59,13 +59,11 @@ class MojoTopKSampling(MojoOperator):
         return f"top_k={self.top_k}, min_tokens_to_keep={self.min_tokens_to_keep}"
 
 
-def _top_p_filter(
-    logits: jax.Array, top_p: float, min_tokens_to_keep: int, rand_top_k: int, filter_value: float
-):
-    """Shared nucleus filtering (reference sampling.py:120-132/:188-201)."""
-    logits = logits.astype(jnp.float32)
-    top_k = min(rand_top_k, logits.shape[-1])
-    topk_logits, topk_indices = jax.lax.top_k(logits, top_k)
+def _nucleus_from_topk(
+    topk_logits: jax.Array, top_p: float, min_tokens_to_keep: int, filter_value: float
+) -> jax.Array:
+    """Nucleus mask + renormalize over DESCENDING-sorted top-k logits."""
+    top_k = topk_logits.shape[-1]
     cumulative = jnp.cumsum(jax.nn.softmax(topk_logits, axis=-1), axis=-1)
     to_remove = cumulative > top_p
     if min_tokens_to_keep > 1:
@@ -76,7 +74,17 @@ def _top_p_filter(
         [jnp.zeros_like(to_remove[..., :1]), to_remove[..., :-1]], axis=-1
     )
     filtered = jnp.where(to_remove, filter_value, topk_logits)
-    probs = jax.nn.softmax(filtered, axis=-1)
+    return jax.nn.softmax(filtered, axis=-1)
+
+
+def _top_p_filter(
+    logits: jax.Array, top_p: float, min_tokens_to_keep: int, rand_top_k: int, filter_value: float
+):
+    """Shared nucleus filtering (reference sampling.py:120-132/:188-201)."""
+    logits = logits.astype(jnp.float32)
+    top_k = min(rand_top_k, logits.shape[-1])
+    topk_logits, topk_indices = jax.lax.top_k(logits, top_k)
+    probs = _nucleus_from_topk(topk_logits, top_p, min_tokens_to_keep, filter_value)
     return probs, topk_indices
 
 

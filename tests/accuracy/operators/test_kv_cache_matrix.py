@@ -115,7 +115,9 @@ def test_chunk_metadata_covers_exactly_the_oracle_tokens(seed, decode):
 
 @pytest.mark.parametrize("seed", range(6))
 @pytest.mark.parametrize("kv_layout", ["HND", "NHD"])
-@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+# float16 exercises the f16_bitcast_store shim (bf16 bit-container store);
+# equality must stay EXACT — the shim moves bits, never converts values
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16, jnp.float16])
 def test_store_matches_oracle(seed, kv_layout, dtype):
     rng = np.random.default_rng(200 + seed)
     case = _random_case(rng, decode=False)

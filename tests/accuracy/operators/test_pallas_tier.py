@@ -223,3 +223,61 @@ def test_pallas_paged_prefill_kv_dequant_matches_ref():
     op_r = MojoPagedPrefillGQAWithKVDequant.get_backend_impl("ref")(
         gqa_layout="AABB", query_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
     op_p.forward_diff_with(op_r, *args, atol=2e-2, rtol=2e-2)
+
+
+# -- ApplyRoPE kernel ---------------------------------------------------
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16, jnp.float16],
+                         ids=["f32", "bf16", "f16"])
+@pytest.mark.parametrize("layout", ["head_first", "token_first"])
+def test_pallas_apply_rope_matches_ref(layout, dtype):
+    rng = np.random.default_rng(11)
+    D = 128
+    ref = m.MojoApplyRoPE.get_backend_impl("ref")()
+    pal = m.MojoApplyRoPE.get_backend_impl("pallas", strict=True)()
+    if layout == "head_first":
+        B, Hq, Hk, S = 2, 4, 2, 64
+        q = jnp.asarray(rng.standard_normal((B, Hq, S, D)), dtype)
+        k = jnp.asarray(rng.standard_normal((B, Hk, S, D)), dtype)
+        cos = jnp.asarray(rng.standard_normal((1, S, D)), jnp.float32)
+        sin = jnp.asarray(rng.standard_normal((1, S, D)), jnp.float32)
+        hf = True
+    else:
+        T, Hq, Hk = 48, 4, 2
+        q = jnp.asarray(rng.standard_normal((T, Hq, D)), dtype)
+        k = jnp.asarray(rng.standard_normal((T, Hk, D)), dtype)
+        cos = jnp.asarray(rng.standard_normal((T, D)), jnp.float32)
+        sin = jnp.asarray(rng.standard_normal((T, D)), jnp.float32)
+        hf = False
+    want_q, want_k = ref(q, k, cos, sin, head_first=hf)
+    got_q, got_k = pal(q, k, cos, sin, head_first=hf)
+    tol = 2e-6 if dtype == jnp.float32 else 2e-2
+    for got, want in ((got_q, want_q), (got_k, want_k)):
+        assert got.dtype == want.dtype
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want, np.float32),
+                                   atol=tol, rtol=tol)
+
+
+def test_pallas_apply_rope_partial_and_unaligned_fall_back():
+    rng = np.random.default_rng(3)
+    pal = m.MojoApplyRoPE.get_backend_impl("pallas", strict=True)()
+    ref = m.MojoApplyRoPE.get_backend_impl("ref")()
+    # partial rope (nope_dim > 0): cos narrower than head_dim
+    T, H, D, R = 16, 2, 128, 64
+    q = jnp.asarray(rng.standard_normal((T, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((T, H, D)), jnp.float32)
+    cos = jnp.asarray(rng.standard_normal((T, R)), jnp.float32)
+    sin = jnp.asarray(rng.standard_normal((T, R)), jnp.float32)
+    got = pal(q, k, cos, sin, head_first=False)
+    want = ref(q, k, cos, sin, head_first=False)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]), atol=1e-6)
+    # unaligned head_dim (D=32) falls back too
+    q = jnp.asarray(rng.standard_normal((8, 2, 32)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((8, 2, 32)), jnp.float32)
+    cos = jnp.asarray(rng.standard_normal((8, 32)), jnp.float32)
+    sin = jnp.asarray(rng.standard_normal((8, 32)), jnp.float32)
+    got = pal(q, k, cos, sin, head_first=False)
+    want = ref(q, k, cos, sin, head_first=False)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]), atol=1e-6)

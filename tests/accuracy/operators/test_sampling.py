@@ -148,3 +148,18 @@ def test_xla_topp_matches_ref_distribution():
                 counts[name][kk] = counts[name].get(kk, 0) + 1
     # identical support
     assert set(counts["ref"]) == set(counts["xla"])
+
+
+def test_xla_topp_filter_matches_golden_when_heads_exact():
+    # small vocab: approx_max_k returns the exact sorted heads, so the
+    # accelerated filter must match the golden bit-for-bit in semantics
+    rng = np.random.default_rng(5)
+    logits = jnp.asarray(rng.standard_normal((6, 256)), jnp.float32)
+    ref = m.MojoTopPFilter.get_backend_impl("ref")()
+    xla = m.MojoTopPFilter.get_backend_impl("xla", strict=True)()
+    for top_p, mtk, k in ((0.7, 1, 32), (0.9, 4, 64), (0.99, 1, 256)):
+        p_ref, i_ref = ref(logits, top_p, mtk, k)
+        p_xla, i_xla = xla(logits, top_p, mtk, k)
+        np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_xla))
+        np.testing.assert_allclose(np.asarray(p_ref), np.asarray(p_xla),
+                                   atol=1e-6, rtol=1e-6)

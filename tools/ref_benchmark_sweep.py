@@ -239,8 +239,11 @@ def _build_store_paged(row, rng):
     v_cache = _randn(rng, (cache_rows, H, bs, D), kdt)
     # context fills most of the table: context + S_new tokens within `width`
     # blocks per sequence (context values are not recoverable from the
-    # published row; the store cost depends on bytes written, not context)
-    ctx = (width - 2) * bs + bs // 2
+    # published row; the store cost depends on bytes written, not context).
+    # Choose ctx so the total lands mid-block in the LAST table entry for
+    # any S (ceil(len/bs) == width exactly).
+    total = width * bs - (bs + 1) // 2
+    ctx = max(total - S, 0)
     lens = [ctx + S] * B
     tables = np.full((B, width), -1, np.int32)
     cur = 0
@@ -292,20 +295,15 @@ def _build_reject(row, rng, joint=False):
     jnp = _jnp()
     (B, S1, V), _ = row["tensors"]["target_logits"]
     S = S1 - 1
-    # our op takes target PROBS; the published row feeds logits — include
-    # the softmax in the timed region for parity with the kernel's work
-    logits = _randn(rng, (B, S1, V), "float32")
+    # the reference perf case feeds the raw (B,S+1,V) tensor STRAIGHT into
+    # the op's target_probs argument — no softmax in the timed region
+    # (reference tests/perf/test_sampling.py:56-61: target_logits is passed
+    # as target_probs verbatim); do exactly the same
+    probs = jnp.asarray(rng.uniform(0.05, 1.0, (B, S1, V)).astype("float32"))
     draft_tokens = jnp.asarray(np.asarray(rng.integers(0, V, (B, S))), jnp.int32)
     draft_probs = jnp.asarray(rng.uniform(0.1, 1.0, (B, S)).astype("float32"))
     op = m.MojoJoinProbRejectSampling() if joint else m.MojoRejectSampling()
-
-    def fn(logits, draft_tokens, draft_probs):
-        import jax
-
-        probs = jax.nn.softmax(logits, axis=-1)
-        return op(probs, draft_tokens, draft_probs)
-
-    return fn, (logits, draft_tokens, draft_probs), (), ""
+    return (lambda p, t, d: op(p, t, d)), (probs, draft_tokens, draft_probs), (), ""
 
 
 def _build_group_gemm(row, rng):
