@@ -241,6 +241,24 @@ def grouped_matmul(
     bm = min(bm, max(8, (M // 8) * 8))
     bn = min(bn, N)
     bk = min(bk, K)
+    # dtype-aware VMEM fit: the default blocks are sized for 2-byte IO;
+    # fp32 operands (e.g. the f16-compat upcast path) double every scratch
+    # buffer and blow the 16 MB scoped-vmem limit.  Shrink bk -> bm -> bn
+    # (cheapest reuse loss first) until the scratch estimate fits.
+    isz, wisz = x.dtype.itemsize, weights.dtype.itemsize
+
+    def _scratch(bm_, bn_, bk_):
+        return bm_ * K * isz + 3 * bn_ * bk_ * wisz + 2 * bm_ * bn_ * isz
+
+    while _scratch(bm, bn, bk) > 13 * 1024 * 1024:
+        if bk > 128 and K % (bk // 2) == 0:
+            bk //= 2
+        elif bm > 8:
+            bm = max(8, (bm // 2) // 8 * 8)
+        elif bn > 128 and N % (bn // 2) == 0:
+            bn //= 2
+        else:
+            break
     bmw = bm  # window size == tile size (8-aligned anchors, no padding)
     if N % bn or K % bk or bn % 128 or bk % 128 or bm % 8 or M % 8 or M < bmw:
         raise ValueError(f"unsupported gmm geometry M={M} K={K} N={N} bm={bm} bn={bn} bk={bk}")

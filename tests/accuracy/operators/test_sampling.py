@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import mojo_opset_tpu as m
 
@@ -133,6 +134,7 @@ def test_xla_topp_sampling_mass_and_determinism():
     assert np.array_equal(np.asarray(tokens), np.asarray(t2))
 
 
+@pytest.mark.slow
 def test_xla_topp_matches_ref_distribution():
     """With sharp logits the approximate nucleus equals the exact one:
     compare ACCEPTED token frequencies over many keys."""

@@ -11,6 +11,9 @@ from mojo_opset_tpu.modeling.qwen3 import Qwen3Config, Qwen3ForCausalLM
 from mojo_opset_tpu.runtime import PagedAttentionGenerationModel
 from mojo_opset_tpu.runtime.continuous import ContinuousBatchingGenerator
 
+# heavyweight lane (VERDICT r2 #9): run via `pytest -m slow`
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def model():

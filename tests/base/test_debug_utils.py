@@ -125,6 +125,7 @@ def test_debugger_skips_under_jit():
     assert not os.path.exists("/tmp/should_not_exist_dbg")
 
 
+@pytest.mark.slow
 def test_attach_wires_step_resets_into_generator():
     """attach() resets occurrence counters before prefill and after each
     decode step, so `<layer>:<op>` rules address the same layer every
@@ -334,6 +335,7 @@ def test_unmatched_rule_warns_but_runs():
     assert out.shape == (3,)
 
 
+@pytest.mark.slow
 def test_compare_through_model_forward():
     """Rule-driven compare fires inside a full eager model forward — the
     per-layer error-isolation workflow (reference test_compare_mlp_chain)."""

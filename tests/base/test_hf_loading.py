@@ -16,6 +16,8 @@ from mojo_opset_tpu.utils.hf import (
     qwen3_config_from_hf,
     state_dict_of,
 )
+# heavyweight lane (VERDICT r2 #9): run via `pytest -m slow`
+pytestmark = pytest.mark.slow
 
 TINY_HF_CFG = dict(
     hidden_size=32, intermediate_size=64, num_attention_heads=4,

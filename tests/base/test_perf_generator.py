@@ -15,6 +15,10 @@ import jax.numpy as jnp
 from mojo_opset_tpu.modeling.qwen3 import Qwen3Config, Qwen3ForCausalLM
 from mojo_opset_tpu.runtime import PagedAttentionGenerationModel
 from mojo_opset_tpu.runtime.generation import GreedySampler, PerfMojoGenerator
+import pytest
+
+# heavyweight lane (VERDICT r2 #9): run via `pytest -m slow`
+pytestmark = pytest.mark.slow
 
 
 class _Tok:

@@ -12,6 +12,9 @@ from mojo_opset_tpu.modeling.qwen3 import Qwen3Config, Qwen3ForCausalLM
 from mojo_opset_tpu.runtime import PagedAttentionGenerationModel
 from mojo_opset_tpu.runtime.speculative import SpeculativeDecoder
 
+# heavyweight lane (VERDICT r2 #9): run via `pytest -m slow`
+pytestmark = pytest.mark.slow
+
 
 def _cfg(layers, hidden, key_seed):
     return Qwen3Config(

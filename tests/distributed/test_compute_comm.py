@@ -5,6 +5,10 @@ sharded result must equal the single-device computation.
 """
 
 from .dist_common import run_distributed
+import pytest
+
+# heavyweight lane (VERDICT r2 #9): run via `pytest -m slow`
+pytestmark = pytest.mark.slow
 
 
 def test_gemm_allreduce_matches_dense():

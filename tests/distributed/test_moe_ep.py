@@ -7,6 +7,10 @@ single-rank golden). Here the pod is 8 virtual CPU devices and EP rides
 """
 
 from tests.distributed.dist_common import run_distributed
+import pytest
+
+# heavyweight lane (VERDICT r2 #9): run via `pytest -m slow`
+pytestmark = pytest.mark.slow
 
 
 def test_quant_moe_ep_matches_single_device():

@@ -9,6 +9,9 @@ import pytest
 
 from .dist_common import run_distributed
 
+# heavyweight lane (VERDICT r2 #9): run via `pytest -m slow`
+pytestmark = pytest.mark.slow
+
 
 def test_tp_styles_shard_qwen3_and_forward_matches():
     run_distributed("""

@@ -20,6 +20,9 @@ from mojo_opset_tpu.modeling.deepseekv3 import MLARuntimeState
 from mojo_opset_tpu.runtime import PagedAttentionGenerationModel
 from mojo_opset_tpu.utils.patching import apply_mojo_to_deepseek_v3
 
+# heavyweight lane (VERDICT r2 #9): run via `pytest -m slow`
+pytestmark = pytest.mark.slow
+
 TINY_HF = dict(
     hidden_size=64,
     intermediate_size=96,

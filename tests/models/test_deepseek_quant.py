@@ -15,6 +15,9 @@ from mojo_opset_tpu.modeling.deepseekv3 import (
 )
 from mojo_opset_tpu.runtime import PagedAttentionGenerationModel
 
+# heavyweight lane (VERDICT r2 #9): run via `pytest -m slow`
+pytestmark = pytest.mark.slow
+
 TINY = dict(
     hidden_size=64,
     intermediate_size=128,

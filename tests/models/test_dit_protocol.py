@@ -12,6 +12,9 @@ import pytest
 from mojo_opset_tpu.benchmark.dit_protocol import PerfDiTRunner, dit_step_flops
 from mojo_opset_tpu.modeling.wan2_2 import WanConfig, WanModel
 
+# heavyweight lane (VERDICT r2 #9): run via `pytest -m slow`
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny_dit():

@@ -21,6 +21,9 @@ transformers = pytest.importorskip("transformers")
 from mojo_opset_tpu.runtime import PagedAttentionGenerationModel
 from mojo_opset_tpu.utils.patching import apply_mojo_to_qwen3
 
+# heavyweight lane (VERDICT r2 #9): run via `pytest -m slow`
+pytestmark = pytest.mark.slow
+
 TINY_HF = dict(
     hidden_size=64,
     intermediate_size=128,

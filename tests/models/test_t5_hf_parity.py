@@ -17,6 +17,9 @@ transformers = pytest.importorskip("transformers")
 from mojo_opset_tpu.modeling.wan2_2 import T5Encoder
 from mojo_opset_tpu.utils.hf import load_state_dict
 
+# heavyweight lane (VERDICT r2 #9): run via `pytest -m slow`
+pytestmark = pytest.mark.slow
+
 CFG = dict(
     vocab_size=128,
     d_model=64,

@@ -14,6 +14,8 @@ from mojo_opset_tpu.modeling.wan2_2 import (
     WanModel,
     WanVAE_,
 )
+# heavyweight lane (VERDICT r2 #9): run via `pytest -m slow`
+pytestmark = pytest.mark.slow
 
 
 def test_wan_dit_t2v_and_i2v():

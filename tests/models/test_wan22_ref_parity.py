@@ -23,10 +23,14 @@ import jax.numpy as jnp
 
 REF_ROOT = "/root/reference"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(os.path.join(REF_ROOT, "mojo_opset")),
-    reason="reference checkout not available",
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.isdir(os.path.join(REF_ROOT, "mojo_opset")),
+        reason="reference checkout not available",
+    ),
+    # heavyweight lane (VERDICT r2 #9): run via `pytest -m slow`
+    pytest.mark.slow,
+]
 
 torch = pytest.importorskip("torch")
 
