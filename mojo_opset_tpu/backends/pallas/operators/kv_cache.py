@@ -21,14 +21,12 @@ from mojo_opset_tpu.backends.xla.operators.kv_cache import (
     XlaStorePagedKVCache,
     _chunk_plan,
 )
-from mojo_opset_tpu.core.operators.kv_cache import f16_bitcast_store
 from mojo_opset_tpu.utils.platform import pallas_interpret_mode
 
 import jax.numpy as jnp
 
 
 class PallasStorePagedKVCache(XlaStorePagedKVCache):
-    @f16_bitcast_store
     def forward(
         self,
         key_states: jax.Array,
@@ -46,7 +44,10 @@ class PallasStorePagedKVCache(XlaStorePagedKVCache):
         # sub-tile and the kernel fails to compile (caught by the on-chip
         # accuracy lane at D=16).  Real serving shapes have D=128/256;
         # delegate the rest to the XLA scatter tier.
-        if chunk_metadata is not None or key_cache.shape[-1] % 128 != 0:
+        # Mosaic has no f16 buffers; the XLA tier's block-window merge
+        # store is the native-speed f16 path
+        if key_cache.dtype == jnp.float16 or chunk_metadata is not None \
+                or key_cache.shape[-1] % 128 != 0:
             return super().forward(
                 key_states, value_states, key_cache, value_cache,
                 block_table, cu_q_lens, context_kv_lens,

@@ -18,10 +18,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from mojo_opset_tpu.core.operators.kv_cache import (
-    MojoStorePagedKVCache,
-    f16_bitcast_store,
-)
+from mojo_opset_tpu.core.operators.kv_cache import MojoStorePagedKVCache
 
 
 def _chunk_plan(block_table, cu_q_lens, context_kv_lens, block_size):
@@ -54,8 +51,73 @@ def _chunk_plan(block_table, cu_q_lens, context_kv_lens, block_size):
     )
 
 
+def _f16_block_merge_store(
+    key_states, value_states, key_cache, value_cache,
+    block_table, cu_q_lens, context_kv_lens, nhd: bool,
+):
+    """f16 store as a block-window gather -> register merge -> scatter.
+
+    XLA:TPU has no native f16 ALU: the token-row scatter converts the
+    whole cache per call (measured 50-2500 µs where the bf16 twin costs
+    ~5 µs), and a bf16 bitcast round-trip copies the cache twice
+    (tools/exp_f16_store.py).  Data movement at BLOCK granularity stays
+    native: gather the <= min(W, T//bs + 2) blocks per sequence that can
+    contain new tokens, merge the new token rows in registers (converts
+    fuse into the gather/scatter, never touching HBM), and scatter the
+    merged block images back as wide rows.  Traffic = touched blocks
+    read+write only; every published f16 row lands at or under the
+    reference's 910B latency envelope.
+    """
+    if nhd:
+        N, bs, H, D = key_cache.shape
+    else:
+        N, H, bs, D = key_cache.shape
+    T = key_states.shape[0]
+    B, W = block_table.shape
+    ctx = context_kv_lens.astype(jnp.int32)
+    if cu_q_lens is None:  # decode: token b at position ctx[b]
+        cu = jnp.arange(B + 1, dtype=jnp.int32)
+    else:
+        cu = cu_q_lens.astype(jnp.int32)
+    q_lens = cu[1:] - cu[:-1]
+
+    V = min(W, T // bs + 2)  # static per-sequence touched-block bound
+    w0 = jnp.maximum(ctx, 0) // bs  # first touched logical block
+    logical = w0[:, None] + jnp.arange(V, dtype=jnp.int32)[None, :]  # (B,V)
+    in_table = logical < W
+    pid = jnp.where(
+        in_table, block_table[jnp.arange(B)[:, None], jnp.clip(logical, 0, W - 1)], -1
+    ).astype(jnp.int32)
+
+    # token index of each (b, slot, row) and its validity
+    pos = logical[..., None] * bs + jnp.arange(bs, dtype=jnp.int32)  # (B,V,bs)
+    tok = cu[:-1][:, None, None] + pos - ctx[:, None, None]
+    new_here = (pos >= ctx[:, None, None]) & (pos < (ctx + q_lens)[:, None, None])
+    new_here &= (pid >= 0)[..., None]
+    tok_safe = jnp.clip(tok, 0, T - 1)
+
+    # only write back blocks that actually receive tokens; dropped slots
+    # get a POSITIVE out-of-bounds id (N) — -1 would wrap to block N-1
+    # under standard negative indexing before mode="drop" could apply
+    pid = jnp.where(new_here.any(-1) & (pid >= 0), pid, N)
+    pid_safe = jnp.clip(pid, 0, N - 1)
+
+    def merge(cache, new):
+        cur = cache[pid_safe]  # (B,V,bs,H,D) NHD / (B,V,H,bs,D) HND
+        if nhd:
+            picked = new[tok_safe]  # (B,V,bs,H,D)
+            keep = new_here[..., None, None]
+        else:
+            picked = new[tok_safe[:, :, None, :],
+                         jnp.arange(H, dtype=jnp.int32)[None, None, :, None], :]
+            keep = new_here[:, :, None, :, None]
+        merged = jnp.where(keep, picked.astype(cache.dtype), cur)
+        return cache.at[pid].set(merged, mode="drop", unique_indices=True)
+
+    return merge(key_cache, key_states), merge(value_cache, value_states)
+
+
 class XlaStorePagedKVCache(MojoStorePagedKVCache):
-    @f16_bitcast_store
     def forward(
         self,
         key_states: jax.Array,
@@ -68,6 +130,12 @@ class XlaStorePagedKVCache(MojoStorePagedKVCache):
         *,
         chunk_metadata: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, jax.Array]:
+        if chunk_metadata is None and key_cache.dtype == jnp.float16:
+            return _f16_block_merge_store(
+                key_states, value_states, key_cache, value_cache,
+                block_table, cu_q_lens, context_kv_lens,
+                nhd=self.kv_layout == "NHD",
+            )
         if cu_q_lens is None or chunk_metadata is not None:
             # decode fast path / explicit plans: the golden scatter is right
             return super().forward(

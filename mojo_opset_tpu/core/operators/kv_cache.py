@@ -23,35 +23,13 @@ import numpy as np
 from mojo_opset_tpu.core.operator import MojoOperator
 
 
-def f16_bitcast_store(forward):
-    """Run an f16 cache store as a bf16 BIT-container store.
-
-    XLA:TPU has no native float16: any op touching an f16 cache inserts a
-    whole-cache f16->f32 convert (measured: 50-2500 µs per call on rows
-    whose bf16 twin costs ~5 µs).  A paged store only MOVES bytes, so
-    bitcast every 16-bit operand to bfloat16 (same width, bits preserved
-    exactly), run the tier's normal path natively, and bitcast back —
-    ``bitcast_convert_type`` at equal width is a layout no-op.
-    """
-    import functools
-
-    @functools.wraps(forward)
-    def wrapper(self, key_states, value_states, key_cache, value_cache,
-                *args, **kwargs):
-        if key_cache.dtype != jnp.float16:
-            return forward(self, key_states, value_states, key_cache,
-                           value_cache, *args, **kwargs)
-
-        def enter(x):
-            return jax.lax.bitcast_convert_type(
-                x.astype(jnp.float16), jnp.bfloat16)
-
-        kc, vc = forward(self, enter(key_states), enter(value_states),
-                         enter(key_cache), enter(value_cache), *args, **kwargs)
-        return (jax.lax.bitcast_convert_type(kc, jnp.float16),
-                jax.lax.bitcast_convert_type(vc, jnp.float16))
-
-    return wrapper
+def drop_invalid(dst_block: jax.Array, n_rows: int) -> jax.Array:
+    """Remap the ``-1`` invalid-token sentinel to a POSITIVE out-of-bounds
+    row id before a ``mode='drop'`` scatter: jnp scatters normalize
+    negative indices Python-style (``-1`` -> last row) BEFORE the drop
+    filter applies, so ``-1`` would silently corrupt the final cache
+    block instead of being dropped."""
+    return jnp.where(dst_block >= 0, dst_block, n_rows).astype(jnp.int32)
 
 
 def assert_paged_kv_store_contract(chunk_metadata) -> None:
@@ -173,7 +151,6 @@ class MojoStorePagedKVCache(MojoOperator):
     def extra_repr(self) -> str:
         return f"kv_layout={self.kv_layout}"
 
-    @f16_bitcast_store
     def forward(
         self,
         key_states: jax.Array,
@@ -217,6 +194,7 @@ class MojoStorePagedKVCache(MojoOperator):
             dst_block = jnp.asarray(blk_list, jnp.int32)
             dst_offset = jnp.asarray(off_list, jnp.int32)
 
+        dst_block = drop_invalid(dst_block, key_cache.shape[0])
         if self.kv_layout == "NHD":
             # leading-dims scatter of contiguous (Hkv, D) token rows —
             # in-place under jit (donated / loop-carried caches)

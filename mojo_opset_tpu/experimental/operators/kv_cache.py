@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from mojo_opset_tpu.core.operator import MojoOperator
 from mojo_opset_tpu.core.operators.kv_cache import (
     build_paged_kv_token_indices,
+    drop_invalid,
 )
 
 
@@ -38,6 +39,7 @@ class MojoStorePagedMLAKVCache(MojoOperator):
         dst_block, dst_offset = build_paged_kv_token_indices(
             block_table, cu_q_lens, context_kv_lens, compressed_kv_cache.shape[2], T
         )
+        dst_block = drop_invalid(dst_block, compressed_kv_cache.shape[0])
         compressed_kv_cache = compressed_kv_cache.at[dst_block, 0, dst_offset, :].set(
             compressed_kv_states.astype(compressed_kv_cache.dtype), mode="drop"
         )
@@ -83,6 +85,7 @@ class MojoStorePagedKVCacheC8(MojoOperator):
         dst_block, dst_offset = build_paged_kv_token_indices(
             block_table, cu_q_lens, context_kv_lens, key_cache.shape[2], key_states.shape[0]
         )
+        dst_block = drop_invalid(dst_block, key_cache.shape[0])
         key_cache = key_cache.at[dst_block, :, dst_offset, :].set(key_q, mode="drop")
         value_cache = value_cache.at[dst_block, :, dst_offset, :].set(value_q, mode="drop")
         return key_cache, value_cache
@@ -153,6 +156,7 @@ class MojoStoreLowrank(MojoOperator):
         assert token_idxs.dtype == jnp.int32
         assert label_cache.ndim == 4, "Expected label_cache is BNSD"
         assert key_lr.ndim == 3, "Expected key_lr is SND"
-        return label_cache.at[block_idxs[:token_num], :, token_idxs[:token_num], :].set(
+        blocks = drop_invalid(block_idxs[:token_num], label_cache.shape[0])
+        return label_cache.at[blocks, :, token_idxs[:token_num], :].set(
             key_lr[:token_num].astype(label_cache.dtype), mode="drop"
         )

@@ -68,6 +68,7 @@ def test_decode_gqa_vs_numpy(layout):
 
 
 @pytest.mark.parametrize("layout", ["AABB", "ABAB"])
+@pytest.mark.slow
 def test_paged_decode_gqa_vs_numpy(layout):
     case = make_paged_case(seq_lens=(7, 1, 13))
     B = 3
@@ -226,6 +227,7 @@ def test_paged_swa_prefill_and_decode():
         np.testing.assert_allclose(np.asarray(outd[i]), want, atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_xla_swa_matches_golden():
     """Chunked online-softmax SWA tier vs the dense golden, across window
     configs and varlen batches (chunk boundary at 256 exercised)."""

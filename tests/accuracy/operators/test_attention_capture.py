@@ -30,6 +30,8 @@ import mojo_opset_tpu.experimental as exp
 from mojo_opset_tpu.runtime import CompiledStepPool, round_up_bucket
 
 from ..utils import randn
+# heavyweight lane (VERDICT r2 #9): run via `pytest -m slow`
+pytestmark = pytest.mark.slow
 
 
 def _paged_state(key, batch, hkv, head_dim, block_size, max_blocks, dtype=jnp.float32,

@@ -115,8 +115,9 @@ def test_chunk_metadata_covers_exactly_the_oracle_tokens(seed, decode):
 
 @pytest.mark.parametrize("seed", range(6))
 @pytest.mark.parametrize("kv_layout", ["HND", "NHD"])
-# float16 exercises the f16_bitcast_store shim (bf16 bit-container store);
-# equality must stay EXACT — the shim moves bits, never converts values
+# float16 exercises the block-window merge store (XLA tier; TPU has no
+# native f16 — backends/xla/operators/kv_cache.py _f16_block_merge_store);
+# equality must stay EXACT — the merge moves rows, never converts values
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16, jnp.float16])
 def test_store_matches_oracle(seed, kv_layout, dtype):
     rng = np.random.default_rng(200 + seed)
@@ -242,6 +243,7 @@ def test_store_lowrank_matches_oracle():
     np.testing.assert_array_equal(np.asarray(got), want)
 
 
+@pytest.mark.slow
 def test_store_then_attend_consistency_random_matrix():
     """End-to-end: after a random store, paged decode over the cache must
     equal dense attention over the oracle-reconstructed K/V."""
@@ -277,3 +279,72 @@ def test_store_then_attend_consistency_random_matrix():
             p /= p.sum(-1, keepdims=True)
             want_b = np.einsum("hl,lhd->hd", p, vq)
             np.testing.assert_allclose(got[b], want_b, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("kv_layout", ["HND", "NHD"])
+def test_store_decode_path_f16_matches_oracle(seed, kv_layout):
+    """Decode (cu_q_lens=None) through the f16 block-window merge store."""
+    rng = np.random.default_rng(400 + seed)
+    case = _random_case(rng, decode=True)
+    B = case["batch"]
+    hkv, d = 2, 8
+    bs = case["block_size"]
+    k_new = jnp.asarray(rng.standard_normal((B, hkv, d)), jnp.float16)
+    v_new = jnp.asarray(rng.standard_normal((B, hkv, d)), jnp.float16)
+    shape = ((case["n_blocks"], hkv, bs, d) if kv_layout == "HND"
+             else (case["n_blocks"], bs, hkv, d))
+    k_cache = jnp.asarray(rng.standard_normal(shape), jnp.float16)
+    v_cache = jnp.asarray(rng.standard_normal(shape), jnp.float16)
+
+    op = m.MojoStorePagedKVCache(kv_layout=kv_layout)
+    got_k, got_v = op(k_new, v_new, k_cache, v_cache, jnp.asarray(case["table"]),
+                      None, jnp.asarray(case["ctx"]))
+
+    want_k = np.asarray(k_cache, np.float32).copy()
+    want_v = np.asarray(v_cache, np.float32).copy()
+    for t, blk, off in _oracle_positions(case, decode=True):
+        if kv_layout == "HND":
+            want_k[blk, :, off, :] = np.asarray(k_new[t], np.float32)
+            want_v[blk, :, off, :] = np.asarray(v_new[t], np.float32)
+        else:
+            want_k[blk, off, :, :] = np.asarray(k_new[t], np.float32)
+            want_v[blk, off, :, :] = np.asarray(v_new[t], np.float32)
+    np.testing.assert_array_equal(np.asarray(got_k, np.float32), want_k)
+    np.testing.assert_array_equal(np.asarray(got_v, np.float32), want_v)
+
+
+@pytest.mark.parametrize("kv_layout", ["HND", "NHD"])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.float16])
+def test_invalid_tokens_never_touch_the_last_block(kv_layout, dtype):
+    """Regression: dst_block=-1 under mode='drop' WRAPS to the last cache
+    row (Python negative indexing happens before the drop filter), so
+    invalid tokens used to corrupt block N-1 silently."""
+    hkv, d, bs, nb = 2, 8, 4, 6
+    rng = np.random.default_rng(7)
+    # 5 tokens but the table only covers 1 block of 4 -> token 4 invalid;
+    # also a -1 table slot in range
+    table = jnp.asarray([[1, -1]], jnp.int32)
+    ctx = jnp.asarray([0], jnp.int32)
+    cu = jnp.asarray([0, 5], jnp.int32)
+    k_new = jnp.asarray(rng.standard_normal((5, hkv, d)), dtype)
+    v_new = jnp.asarray(rng.standard_normal((5, hkv, d)), dtype)
+    shape = (nb, hkv, bs, d) if kv_layout == "HND" else (nb, bs, hkv, d)
+    k_cache = jnp.asarray(rng.standard_normal(shape), dtype)
+    v_cache = jnp.asarray(rng.standard_normal(shape), dtype)
+    for tier in ("ref", "xla"):
+        op = m.MojoStorePagedKVCache.get_backend_impl(tier)(kv_layout=kv_layout)
+        got_k, got_v = op(k_new, v_new, k_cache, v_cache, table, cu, ctx)
+        # block 1 written with tokens 0..3; every OTHER block untouched
+        np.testing.assert_array_equal(np.asarray(got_k[0]), np.asarray(k_cache[0]))
+        np.testing.assert_array_equal(
+            np.asarray(got_k[2:]), np.asarray(k_cache[2:]), err_msg=tier)
+        np.testing.assert_array_equal(
+            np.asarray(got_v[2:]), np.asarray(v_cache[2:]), err_msg=tier)
+        if kv_layout == "HND":
+            np.testing.assert_array_equal(
+                np.asarray(got_k[1, :, :, :], np.float32),
+                np.swapaxes(np.asarray(k_new[:4], np.float32), 0, 1))
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(got_k[1], np.float32), np.asarray(k_new[:4], np.float32))

@@ -17,6 +17,8 @@ import pytest
 import mojo_opset_tpu as m
 
 from ..utils import make_paged_case, randn
+# heavyweight lane (VERDICT r2 #9): run via `pytest -m slow`
+pytestmark = pytest.mark.slow
 
 
 @pytest.fixture()

@@ -120,6 +120,7 @@ def test_moe_xla_tier_matches_ref_and_jits():
     np.testing.assert_allclose(np.asarray(o_ref), np.asarray(o_xla), atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_moe_ep_eager_matches_single_rank():
     """EP shards run independently and their psum equals the single-rank
     result (reference tests/distributed/test_expert_parallel.py)."""

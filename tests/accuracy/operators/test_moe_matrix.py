@@ -41,6 +41,7 @@ def _dense_moe_oracle(x, gate_w, up_w, down_w, top_k):
 
 
 @pytest.mark.parametrize("seed,E,K", [(0, 4, 2), (1, 8, 3), (2, 2, 1), (3, 6, 6)])
+@pytest.mark.slow
 def test_moe_matches_dense_oracle(seed, E, K):
     T, H, I = 7, 8, 16
     moe = m.MojoMoE.get_backend_impl("xla")(E, K, H, I, key=jax.random.PRNGKey(seed))

@@ -172,6 +172,7 @@ def test_residual_add_norm_quant_matrix(cls, kind, norm_pos, smooth):
         np.testing.assert_allclose(np.asarray(res, np.float64), s, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_channel_rms_norm_normalizes_channel_axis():
     # VAE norm: L2 over the channel axis (dim 1, NCHW) scaled by sqrt(C)
     C = 8

@@ -209,6 +209,7 @@ def test_pallas_paged_decode_kv_dequant_matches_ref():
     op_p.forward_diff_with(op_r, *args, atol=2e-2, rtol=2e-2)
 
 
+@pytest.mark.slow
 def test_pallas_paged_prefill_kv_dequant_matches_ref():
     from mojo_opset_tpu.experimental.operators import MojoPagedPrefillGQAWithKVDequant
 

@@ -56,6 +56,7 @@ def test_span_records_duration(tmp_path):
     assert e_["ts"] - b["ts"] >= 9_000  # ≥9ms in µs
 
 
+@pytest.mark.slow
 def test_profiler_hook_wires_into_generator(tmp_path):
     """TPUProfilerHook runs through a real generate loop (start/stop via
     jax.profiler; on CPU the trace may be empty but the hook must not

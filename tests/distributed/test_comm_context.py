@@ -58,6 +58,7 @@ def test_context_caches_ops_and_workspaces():
     assert wk1 is wk2 and wk3 is not wk1
 
 
+@pytest.mark.slow
 def test_reference_port_pattern_computes_correctly():
     """The reference's end-to-end pattern: size a workspace from
     ``estimate_shmem_size_mb``, allocate through the manager, fetch the

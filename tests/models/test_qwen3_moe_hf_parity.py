@@ -17,6 +17,8 @@ transformers = pytest.importorskip("transformers")
 
 from mojo_opset_tpu.runtime import PagedAttentionGenerationModel
 from mojo_opset_tpu.utils.patching import apply_mojo_to_qwen3_moe
+# heavyweight lane (VERDICT r2 #9): run via `pytest -m slow`
+pytestmark = pytest.mark.slow
 
 TINY_HF = dict(
     hidden_size=64,

@@ -15,6 +15,8 @@ import jax.numpy as jnp
 from mojo_opset_tpu.core.operators import MojoGemm, MojoQuantGemm
 from mojo_opset_tpu.modeling.qwen3 import Qwen3Config, Qwen3ForCausalLM, quantize_qwen3
 from mojo_opset_tpu.runtime import PagedAttentionGenerationModel
+# heavyweight lane (VERDICT r2 #9): run via `pytest -m slow`
+pytestmark = pytest.mark.slow
 
 
 def _tiny_cfg(**kw):

@@ -16,6 +16,8 @@ optax = pytest.importorskip("optax")
 
 import mojo_opset_tpu as m
 from mojo_opset_tpu.modeling.qwen3 import Qwen3Config, Qwen3ForCausalLM
+# heavyweight lane (VERDICT r2 #9): run via `pytest -m slow`
+pytestmark = pytest.mark.slow
 
 
 def test_train_step_reduces_loss():
