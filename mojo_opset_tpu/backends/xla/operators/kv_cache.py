@@ -108,8 +108,11 @@ def _f16_block_merge_store(
             picked = new[tok_safe]  # (B,V,bs,H,D)
             keep = new_here[..., None, None]
         else:
-            picked = new[tok_safe[:, :, None, :],
-                         jnp.arange(H, dtype=jnp.int32)[None, None, :, None], :]
+            # gather token-major (B*V*bs rows of contiguous (H,D)), then
+            # transpose in-slab: a direct (slot-row, head) gather would be
+            # B*V*H*bs scatter-sized rows — row-rate bound (~800 µs at the
+            # (16,16,32,128) published row vs ~35 µs this way)
+            picked = jnp.swapaxes(new[tok_safe], 2, 3)  # -> (B,V,H,bs,D)
             keep = new_here[:, :, None, :, None]
         merged = jnp.where(keep, picked.astype(cache.dtype), cur)
         return cache.at[pid].set(merged, mode="drop", unique_indices=True)

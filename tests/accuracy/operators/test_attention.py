@@ -86,6 +86,7 @@ def test_paged_decode_gqa_vs_numpy(layout):
 
 
 @pytest.mark.parametrize("layout", ["AABB", "ABAB"])
+@pytest.mark.slow
 def test_paged_prefill_gqa_vs_numpy(layout):
     case = make_paged_case(seq_lens=(7, 1, 13), q_lens=(5, 1, 6))
     q = randn(4, (case["total_q"], case["hq"], case["head_dim"]))
@@ -131,6 +132,7 @@ def test_paged_decode_tiers_match_ref():
         op.forward_diff_with(ref, *args, atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_prefill_gqa_padded():
     B, Hq, Hkv, S, D = 2, 4, 2, 8, 16
     q = randn(0, (B, Hq, S, D))
@@ -167,6 +169,7 @@ def test_sdpa_gqa_and_mask():
 
 
 @pytest.mark.parametrize("local,glob", [(4, None), (None, 3), (4, 3), (None, None)])
+@pytest.mark.slow
 def test_swa_dense_window(local, glob):
     Hq, Hkv, D = 4, 2, 8
     q_lens, kv_lens = (5, 3), (9, 7)
@@ -200,6 +203,7 @@ def test_swa_dense_window(local, glob):
         )
 
 
+@pytest.mark.slow
 def test_paged_swa_prefill_and_decode():
     case = make_paged_case(seq_lens=(7, 13), q_lens=(5, 6), batch=2)
     q = randn(4, (case["total_q"], case["hq"], case["head_dim"]))

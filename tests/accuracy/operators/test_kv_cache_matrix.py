@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 import mojo_opset_tpu as m
+from ..utils import seed_split
 import mojo_opset_tpu.experimental as exp
 from mojo_opset_tpu.core.operators.kv_cache import (
     build_paged_kv_chunk_metadata,
@@ -73,7 +74,7 @@ def _oracle_positions(case, decode):
     return out
 
 
-@pytest.mark.parametrize("seed", range(12))
+@pytest.mark.parametrize("seed", seed_split(3, 12))
 @pytest.mark.parametrize("decode", [False, True])
 def test_token_plan_matches_oracle(seed, decode):
     rng = np.random.default_rng(seed)
@@ -92,7 +93,7 @@ def test_token_plan_matches_oracle(seed, decode):
     assert got == want
 
 
-@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("seed", seed_split(3, 8))
 @pytest.mark.parametrize("decode", [False, True])
 def test_chunk_metadata_covers_exactly_the_oracle_tokens(seed, decode):
     """Chunk rows, expanded, must cover exactly the oracle's writes —
@@ -113,7 +114,7 @@ def test_chunk_metadata_covers_exactly_the_oracle_tokens(seed, decode):
     assert expanded == set(_oracle_positions(case, decode))
 
 
-@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("seed", seed_split(2, 6))
 @pytest.mark.parametrize("kv_layout", ["HND", "NHD"])
 # float16 exercises the block-window merge store (XLA tier; TPU has no
 # native f16 — backends/xla/operators/kv_cache.py _f16_block_merge_store);
@@ -152,7 +153,7 @@ def test_store_matches_oracle(seed, kv_layout, dtype):
     np.testing.assert_array_equal(np.asarray(got_v, np.float32), want_v)
 
 
-@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("seed", seed_split(2, 4))
 def test_store_chunk_metadata_path_matches_legacy_path(seed):
     rng = np.random.default_rng(300 + seed)
     case = _random_case(rng, decode=False)
@@ -176,7 +177,7 @@ def test_store_chunk_metadata_path_matches_legacy_path(seed):
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
 
 
-@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("seed", seed_split(2, 4))
 def test_c8_store_quantizes_at_oracle_positions(seed):
     rng = np.random.default_rng(400 + seed)
     case = _random_case(rng, decode=False, allow_zero_q=False)
@@ -205,7 +206,7 @@ def test_c8_store_quantizes_at_oracle_positions(seed):
     np.testing.assert_array_equal(np.asarray(got_v), want_v)
 
 
-@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("seed", seed_split(2, 4))
 def test_mla_store_matches_oracle_with_lane_padded_rope_cache(seed):
     rng = np.random.default_rng(500 + seed)
     case = _random_case(rng, decode=True)
@@ -281,7 +282,7 @@ def test_store_then_attend_consistency_random_matrix():
             np.testing.assert_allclose(got[b], want_b, rtol=2e-5, atol=2e-5)
 
 
-@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("seed", seed_split(2, 4))
 @pytest.mark.parametrize("kv_layout", ["HND", "NHD"])
 def test_store_decode_path_f16_matches_oracle(seed, kv_layout):
     """Decode (cu_q_lens=None) through the f16 block-window merge store."""

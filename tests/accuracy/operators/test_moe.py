@@ -171,6 +171,7 @@ def test_quant_experts_w8_and_w4():
         assert np.isfinite(np.asarray(out, np.float32)).all()
 
 
+@pytest.mark.slow
 def test_quant_experts_xla_jittable_matches_ref():
     """XlaQuantExperts (int8 ragged_dot, jittable) vs the eager golden
     loop for w8a8 per-channel scales."""

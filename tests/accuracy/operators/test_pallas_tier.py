@@ -128,6 +128,7 @@ def test_pallas_paged_decode_matches_ref(layout):
     op_p.forward_diff_with(op_r, *args, atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_pallas_paged_prefill_matches_ref():
     case = make_paged_case(seq_lens=(23, 5, 37), q_lens=(23, 5, 20), head_dim=128,
                            block_size=16, max_blocks=4)
@@ -194,6 +195,7 @@ def _int8_paged_case(seq_lens, head_dim=128, q_lens=None, block_size=4, max_bloc
     return case
 
 
+@pytest.mark.slow
 def test_pallas_paged_decode_kv_dequant_matches_ref():
     """Scale-folding int8-KV decode (serving path) vs the ref dequant."""
     from mojo_opset_tpu.experimental.operators import MojoPagedDecodeGQAWithKVDequant

@@ -82,3 +82,12 @@ def make_paged_case(
         cu_total = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(seq_lens)]).astype(jnp.int32)
         out.update(q_lens=q_lens, cu_q_lens=cu_q, cu_total_seq_lens=cu_total, total_q=int(cu_q[-1]))
     return out
+
+
+def seed_split(fast, total):
+    """Seed list for property matrices: the first ``fast`` seeds run in the
+    default lane, the rest carry the ``slow`` marker (VERDICT r2 #9)."""
+    import pytest
+
+    return [*range(fast),
+            *[pytest.param(s, marks=pytest.mark.slow) for s in range(fast, total)]]

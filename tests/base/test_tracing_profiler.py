@@ -90,6 +90,7 @@ def test_profiler_hook_wires_into_generator(tmp_path):
     assert out.shape == (1, 6)
 
 
+@pytest.mark.slow
 def test_perf_hook_records_prefill_and_decode():
     import jax
 

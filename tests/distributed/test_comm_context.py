@@ -10,6 +10,7 @@ through real shard_map collectives on the 8-virtual-device CPU mesh.
 """
 
 import jax.numpy as jnp
+import pytest
 
 from mojo_opset_tpu.runtime.comm_context import (
     MojoComputeCommContext,

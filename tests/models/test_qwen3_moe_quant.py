@@ -18,6 +18,8 @@ from mojo_opset_tpu.modeling.qwen3 import (
     quantize_qwen3_moe,
 )
 from mojo_opset_tpu.runtime import PagedAttentionGenerationModel
+# heavyweight lane (VERDICT r2 #9): run via `pytest -m slow`
+pytestmark = pytest.mark.slow
 
 
 def _tiny_cfg(**kw):

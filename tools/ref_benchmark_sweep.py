@@ -303,7 +303,10 @@ def _build_reject(row, rng, joint=False):
     draft_tokens = jnp.asarray(np.asarray(rng.integers(0, V, (B, S))), jnp.int32)
     draft_probs = jnp.asarray(rng.uniform(0.1, 1.0, (B, S)).astype("float32"))
     op = m.MojoJoinProbRejectSampling() if joint else m.MojoRejectSampling()
-    return (lambda p, t, d: op(p, t, d)), (probs, draft_tokens, draft_probs), (), ""
+    # tiny draft_probs first: the runner's elision-proof carry perturbs
+    # arg0 elementwise every iteration, which would stream the 37 MB probs
+    # tensor through HBM and bury the op under a bandwidth artifact
+    return (lambda d, p, t: op(p, t, d)), (draft_probs, probs, draft_tokens), (), ""
 
 
 def _build_group_gemm(row, rng):
