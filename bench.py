@@ -313,6 +313,24 @@ def bench_qwen3_speculative(rec: dict):
     return rec
 
 
+def bench_dit_e2e(rec: dict):
+    """Wan2.2-ish DiT denoise step (benchmark/dit_protocol.py) — the
+    reference's DiT e2e story is examples/dit_inference.py (no built-in
+    timing there; this records ms/step + backbone TFLOP/s)."""
+    from mojo_opset_tpu.benchmark.dit_protocol import run_dit_perf
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if on_tpu:
+        recs = run_dit_perf(2048, 32, sizes=[(1, 60, 104)], steps=3)
+    else:
+        recs = run_dit_perf(128, 2, sizes=[(1, 16, 16)], steps=2)
+    r = recs[-1]
+    rec["dit_denoise_ms_step"] = round(float(r["denoise_ms"]), 2)
+    rec["dit_tflops"] = round(float(r["tflops"]), 1)
+    rec["dit_latent"] = str(r["latent"])
+    return rec
+
+
 def main():
     t0 = time.perf_counter()
     devices = _probe_devices_or_cpu()
@@ -337,6 +355,7 @@ def main():
         ("qwen3_e2e", bench_qwen3_e2e),
         ("qwen3_int8", bench_qwen3_int8_serving),
         ("qwen3_spec", bench_qwen3_speculative),
+        ("dit_e2e", bench_dit_e2e),
     ):
         if time.perf_counter() - t0 > budget_s:
             rec[f"{name}_skipped"] = "wall budget"
