@@ -8,11 +8,17 @@ epilogue runs on the int32 accumulator before the single output write.
 Packed format (``pack_int4_rows`` in core/operators/gemm.py): weights are
 stored transposed (N, K) and packed along N in 128-row blocks — packed
 row ``j*64 + r`` holds output channels ``j*128 + r`` (low nibble, two's
-complement) and ``j*128 + 64 + r`` (high nibble).  The kernel's bn=128
-block then unpacks with one sublane concat, preserving channel order:
+complement) and ``j*128 + 64 + r`` (high nibble).  A kernel step covers
+``bn`` channels = ``bn/128`` packed groups; the unpack reshapes to
+(groups, 64, bk), splits nibbles, and concatenates per group so channel
+order is preserved:
 
     lo = ((p & 15) ^ 8) - 8        hi = p >> 4   (arithmetic)
-    U  = concat([lo, hi], axis=0)  # (128, bk) int8, rows in order
+    U  = concat([lo, hi], axis=1)  # (groups, 128, bk) rows in order
+
+Block sizing note (v1 lesson): BN=128 with bk=512 made every weight DMA
+32 KB — 240 grid steps at M=8/qkv and ~110 GB/s effective.  Wide bn and
+full-K chunks push the weight stream to MB-scale transfers.
 
 Extends the reference's w4a8 support (int4 experts only, reference
 moe.py:566-667) to dense projections — used for the MojoQuantGemm
@@ -28,29 +34,32 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BN = 128  # packed-format row-block (64 packed rows -> 128 channels)
+BN = 128  # packed-format channel group (64 packed rows -> 128 channels)
 
 
-def _unpack_block(p):
-    """(bnh, bk) packed int8 -> (2*bnh, bk) int8 nibbles, rows in order.
+def _unpack_block(p, groups: int):
+    """(groups*64, bk) packed int8 -> (groups*128, bk) int8, rows in order.
 
     Nibble arithmetic runs in int32: Mosaic has no 8-bit vector
     sub/shift lowering (`failed to legalize arith.subi` on vector<i8>).
     """
-    p32 = p.astype(jnp.int32)
+    bk = p.shape[-1]
+    p32 = p.astype(jnp.int32).reshape(groups, 64, bk)
     lo = jnp.bitwise_xor(jnp.bitwise_and(p32, 15), 8) - 8
     hi = jnp.right_shift(p32, 4)  # arithmetic: sign of the byte rides the high nibble
-    return jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)
+    u = jnp.concatenate([lo, hi], axis=1)  # (groups, 128, bk)
+    return u.reshape(groups * BN, bk).astype(jnp.int8)
 
 
-def _int4_mm_kernel(x_ref, w_ref, is_ref, ws_ref, o_ref, acc_ref, *, k_chunks: int):
+def _int4_mm_kernel(x_ref, w_ref, is_ref, ws_ref, o_ref, acc_ref,
+                    *, k_chunks: int, groups: int):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    u = _unpack_block(w_ref[...])  # (BN, bk) int8
+    u = _unpack_block(w_ref[...], groups)  # (bn, bk) int8
     acc_ref[...] += jax.lax.dot_general(
         x_ref[...], u, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
@@ -62,8 +71,17 @@ def _int4_mm_kernel(x_ref, w_ref, is_ref, ws_ref, o_ref, acc_ref, *, k_chunks: i
         o_ref[...] = (acc_ref[...].astype(jnp.float32) * scale).astype(o_ref.dtype)
 
 
+def _pick_bk(K: int, cap: int = 4096) -> int:
+    best = 0
+    for mult in range(1, K // 128 + 1):
+        bk = 128 * mult
+        if K % bk == 0 and bk <= cap:
+            best = bk
+    return best or K
+
+
 @functools.partial(
-    jax.jit, static_argnames=("out_dtype", "bm", "bk", "interpret"))
+    jax.jit, static_argnames=("out_dtype", "bm", "bn", "bk", "interpret"))
 def int4_scaled_matmul(
     x: jax.Array,            # (M, K) int8
     w_packed: jax.Array,     # (N//2, K) int8, pack_int4_rows format
@@ -71,32 +89,40 @@ def int4_scaled_matmul(
     weight_scale: jax.Array, # (N,) fp
     out_dtype=jnp.bfloat16,
     bm: int = 256,
-    bk: int = 512,
+    bn: int = 512,
+    bk: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """out[m, n] = (sum_k x[m,k]·unpack(w)[n,k]) · input_scale[m] · weight_scale[n]."""
     M, K = x.shape
     N = w_packed.shape[0] * 2
-    bm, bk = min(bm, M), min(bk, K)
-    if M % bm or K % bk or N % BN or bm % 8 or bk % 128:
+    bm = min(bm, M)
+    bn = min(bn, N)
+    while N % bn:  # e.g. vocab-sized N = 128 * prime
+        bn -= BN
+    if bk is None:
+        bk = _pick_bk(K)
+    bk = min(bk, K)
+    if M % bm or K % bk or N % bn or bn % BN or bm % 8 or bk % 128:
         raise ValueError(f"unsupported int4 gemm geometry M={M} K={K} N={N} "
-                         f"bm={bm} bk={bk}")
+                         f"bm={bm} bn={bn} bk={bk}")
     k_chunks = K // bk
+    groups = bn // BN
     is_row = input_scale.astype(jnp.float32).reshape(1, M)
     ws_row = weight_scale.astype(jnp.float32).reshape(1, N)
 
     kernel = pl.pallas_call(
-        functools.partial(_int4_mm_kernel, k_chunks=k_chunks),
-        grid=(M // bm, N // BN, k_chunks),
+        functools.partial(_int4_mm_kernel, k_chunks=k_chunks, groups=groups),
+        grid=(M // bm, N // bn, k_chunks),
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
-            pl.BlockSpec((BN // 2, bk), lambda i, j, k: (j, k)),
+            pl.BlockSpec((bn // 2, bk), lambda i, j, k: (j, k)),
             pl.BlockSpec((1, bm), lambda i, j, k: (0, i)),
-            pl.BlockSpec((1, BN), lambda i, j, k: (0, j)),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
         ],
-        out_specs=pl.BlockSpec((bm, BN), lambda i, j, k: (i, j)),
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bm, BN), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),

@@ -88,11 +88,13 @@ class PallasQuantGemm(MojoQuantGemm):
             x = jnp.pad(input, ((0, pad), (0, 0))) if pad else input
             s = jnp.pad(input_scale.reshape(-1), (0, pad)) if pad else input_scale.reshape(-1)
             Mp = M + pad
-            bk4 = next(b for b in (512, 256, 128) if K % b == 0)
             bm4 = next(b for b in (256, 128, 64, 32, 16, 8) if Mp % b == 0)
+            # bk/bn auto-pick inside the kernel: wide blocks keep the
+            # weight DMAs MB-scale (the v1 bk=512 override measured
+            # 110 GB/s at M=8 — 6x under the XLA int8 dot)
             out = int4_scaled_matmul(
                 x.astype(jnp.int8), self.weight, s, self.weight_scale,
-                out_dtype=self.output_dtype, bm=bm4, bk=bk4,
+                out_dtype=self.output_dtype, bm=bm4,
                 interpret=pallas_interpret_mode(),
             )
             return out[:M] if pad else out

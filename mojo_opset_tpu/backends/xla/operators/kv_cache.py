@@ -19,6 +19,10 @@ import jax
 import jax.numpy as jnp
 
 from mojo_opset_tpu.core.operators.kv_cache import MojoStorePagedKVCache
+from mojo_opset_tpu.experimental.operators.kv_cache import (
+    MojoStorePagedKVCacheC8 as _MojoStorePagedKVCacheC8,
+    MojoStorePagedMLAKVCache as _MojoStorePagedMLAKVCache,
+)
 
 
 def _chunk_plan(block_table, cu_q_lens, context_kv_lens, block_size):
@@ -51,28 +55,14 @@ def _chunk_plan(block_table, cu_q_lens, context_kv_lens, block_size):
     )
 
 
-def _f16_block_merge_store(
-    key_states, value_states, key_cache, value_cache,
-    block_table, cu_q_lens, context_kv_lens, nhd: bool,
-):
-    """f16 store as a block-window gather -> register merge -> scatter.
+def _block_window_plan(block_table, cu_q_lens, context_kv_lens, bs, T, N):
+    """Per-(sequence, slot) touched-block plan shared by the merge stores.
 
-    XLA:TPU has no native f16 ALU: the token-row scatter converts the
-    whole cache per call (measured 50-2500 µs where the bf16 twin costs
-    ~5 µs), and a bf16 bitcast round-trip copies the cache twice
-    (tools/exp_f16_store.py).  Data movement at BLOCK granularity stays
-    native: gather the <= min(W, T//bs + 2) blocks per sequence that can
-    contain new tokens, merge the new token rows in registers (converts
-    fuse into the gather/scatter, never touching HBM), and scatter the
-    merged block images back as wide rows.  Traffic = touched blocks
-    read+write only; every published f16 row lands at or under the
-    reference's 910B latency envelope.
+    Returns (pid, pid_safe, tok_safe, new_here): the physical block id per
+    (B, V) window slot (dropped slots get the POSITIVE out-of-bounds id N —
+    -1 would wrap to block N-1 under standard negative indexing before
+    mode="drop" could apply), plus the (B, V, bs) token index and validity.
     """
-    if nhd:
-        N, bs, H, D = key_cache.shape
-    else:
-        N, H, bs, D = key_cache.shape
-    T = key_states.shape[0]
     B, W = block_table.shape
     ctx = context_kv_lens.astype(jnp.int32)
     if cu_q_lens is None:  # decode: token b at position ctx[b]
@@ -96,11 +86,35 @@ def _f16_block_merge_store(
     new_here &= (pid >= 0)[..., None]
     tok_safe = jnp.clip(tok, 0, T - 1)
 
-    # only write back blocks that actually receive tokens; dropped slots
-    # get a POSITIVE out-of-bounds id (N) — -1 would wrap to block N-1
-    # under standard negative indexing before mode="drop" could apply
+    # only write back blocks that actually receive tokens
     pid = jnp.where(new_here.any(-1) & (pid >= 0), pid, N)
-    pid_safe = jnp.clip(pid, 0, N - 1)
+    return pid, jnp.clip(pid, 0, N - 1), tok_safe, new_here
+
+
+def _f16_block_merge_store(
+    key_states, value_states, key_cache, value_cache,
+    block_table, cu_q_lens, context_kv_lens, nhd: bool,
+):
+    """f16 store as a block-window gather -> register merge -> scatter.
+
+    XLA:TPU has no native f16 ALU: the token-row scatter converts the
+    whole cache per call (measured 50-2500 µs where the bf16 twin costs
+    ~5 µs), and a bf16 bitcast round-trip copies the cache twice
+    (tools/exp_f16_store.py).  Data movement at BLOCK granularity stays
+    native: gather the <= min(W, T//bs + 2) blocks per sequence that can
+    contain new tokens, merge the new token rows in registers (converts
+    fuse into the gather/scatter, never touching HBM), and scatter the
+    merged block images back as wide rows.  Traffic = touched blocks
+    read+write only; every published f16 row lands at or under the
+    reference's 910B latency envelope.
+    """
+    if nhd:
+        N, bs, H, D = key_cache.shape
+    else:
+        N, H, bs, D = key_cache.shape
+    T = key_states.shape[0]
+    pid, pid_safe, tok_safe, new_here = _block_window_plan(
+        block_table, cu_q_lens, context_kv_lens, bs, T, N)
 
     def merge(cache, new):
         cur = cache[pid_safe]  # (B,V,bs,H,D) NHD / (B,V,H,bs,D) HND
@@ -190,3 +204,84 @@ class XlaStorePagedKVCache(MojoStorePagedKVCache):
             0, blk.shape[0], body, (key_cache, value_cache)
         )
         return key_cache, value_cache
+
+
+class XlaStorePagedKVCacheC8(_MojoStorePagedKVCacheC8):
+    """C8 store as quantize-new-tokens + block-window merge scatter.
+
+    The golden's HND middle-dim scatter copies the whole int8 cache per
+    call inside jitted decode loops (measured +15 ms/step at Qwen3-4B,
+    bs8 ctx4000 — the entire int8-KV serving regression); the merge
+    gathers only the touched blocks and moves int8 natively.
+    """
+
+    def forward(
+        self,
+        key_states: jax.Array,
+        value_states: jax.Array,
+        key_cache: jax.Array,
+        value_cache: jax.Array,
+        key_scale: jax.Array,
+        value_scale: jax.Array,
+        block_table: jax.Array = None,
+        cu_q_lens: jax.Array = None,
+        context_kv_lens: jax.Array = None,
+        *,
+        chunk_metadata=None,
+    ) -> Tuple[jax.Array, jax.Array]:
+        if chunk_metadata is not None:
+            return super().forward(
+                key_states, value_states, key_cache, value_cache,
+                key_scale, value_scale, block_table, cu_q_lens,
+                context_kv_lens, chunk_metadata=chunk_metadata,
+            )
+        key_q = jnp.clip(
+            jnp.round(key_states.astype(jnp.float32) / key_scale.astype(jnp.float32)),
+            -128, 127,
+        ).astype(jnp.int8)
+        value_q = jnp.clip(
+            jnp.round(value_states.astype(jnp.float32) / value_scale.astype(jnp.float32)),
+            -128, 127,
+        ).astype(jnp.int8)
+        return _f16_block_merge_store(
+            key_q, value_q, key_cache, value_cache,
+            block_table, cu_q_lens, context_kv_lens, nhd=False,
+        )
+
+
+class XlaStorePagedMLAKVCache(_MojoStorePagedMLAKVCache):
+    """MLA latent store via the block-window merge (golden's middle-dim
+    scatter copies both latent caches per call inside jitted decode
+    loops — the same failure mode the C8 store had)."""
+
+    def forward(
+        self,
+        compressed_kv_states: jax.Array,  # (T, r)
+        k_pe_states: jax.Array,  # (T, dr)
+        compressed_kv_cache: jax.Array,  # (N, 1, bs, r)
+        k_pe_cache: jax.Array,  # (N, 1, bs, >=dr)
+        block_table: jax.Array,
+        cu_q_lens: Optional[jax.Array],
+        context_kv_lens: jax.Array,
+    ) -> Tuple[jax.Array, jax.Array]:
+        N, _, bs, _ = compressed_kv_cache.shape
+        T = compressed_kv_states.shape[0]
+        pid, pid_safe, tok_safe, new_here = _block_window_plan(
+            block_table, cu_q_lens, context_kv_lens, bs, T, N)
+
+        def merge(cache, new2d, d_valid):
+            D = cache.shape[-1]
+            if new2d.shape[-1] < D:  # lane-padded k_pe cache
+                new2d = jnp.pad(new2d, ((0, 0), (0, D - new2d.shape[-1])))
+            cur = cache[pid_safe]  # (B, V, 1, bs, D)
+            picked = new2d[tok_safe][:, :, None, :, :].astype(cache.dtype)
+            keep = new_here[:, :, None, :, None] & (
+                jnp.arange(D, dtype=jnp.int32) < d_valid)
+            merged = jnp.where(keep, picked, cur)
+            return cache.at[pid].set(merged, mode="drop", unique_indices=True)
+
+        return (
+            merge(compressed_kv_cache, compressed_kv_states,
+                  compressed_kv_states.shape[-1]),
+            merge(k_pe_cache, k_pe_states, k_pe_states.shape[-1]),
+        )

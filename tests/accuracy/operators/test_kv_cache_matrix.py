@@ -349,3 +349,33 @@ def test_invalid_tokens_never_touch_the_last_block(kv_layout, dtype):
         else:
             np.testing.assert_array_equal(
                 np.asarray(got_k[1], np.float32), np.asarray(k_new[:4], np.float32))
+
+
+@pytest.mark.parametrize("seed", range(3))
+@pytest.mark.parametrize("decode", [False, True])
+def test_c8_store_xla_tier_matches_golden(seed, decode):
+    """The XLA C8 tier (quantize + block-window merge) must place the same
+    int8 values as the golden scatter — bit-exact."""
+    rng = np.random.default_rng(500 + seed)
+    case = _random_case(rng, decode=decode)
+    T = case["batch"] if decode else int(case["q_lens"].sum())
+    if T == 0:
+        pytest.skip("empty token batch")
+    hkv, d = 2, 8
+    bs = case["block_size"]
+    k_new = jnp.asarray(rng.standard_normal((T, hkv, d)), jnp.bfloat16)
+    v_new = jnp.asarray(rng.standard_normal((T, hkv, d)), jnp.bfloat16)
+    k_cache = jnp.asarray(rng.integers(-128, 128, (case["n_blocks"], hkv, bs, d)), jnp.int8)
+    v_cache = jnp.asarray(rng.integers(-128, 128, k_cache.shape), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.01, 0.1, (hkv, d)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.01, 0.1, (hkv, d)), jnp.float32)
+    cu = None if decode else jnp.asarray(
+        np.concatenate([[0], np.cumsum(case["q_lens"])]), jnp.int32)
+    table, ctx = jnp.asarray(case["table"]), jnp.asarray(case["ctx"])
+
+    ref = exp.MojoStorePagedKVCacheC8.get_backend_impl("ref")()
+    xla = exp.MojoStorePagedKVCacheC8.get_backend_impl("xla", strict=True)()
+    want = ref(k_new, v_new, k_cache, v_cache, ks, vs, table, cu, ctx)
+    got = xla(k_new, v_new, k_cache, v_cache, ks, vs, table, cu, ctx)
+    np.testing.assert_array_equal(np.asarray(want[0]), np.asarray(got[0]))
+    np.testing.assert_array_equal(np.asarray(want[1]), np.asarray(got[1]))
