@@ -1,2 +1,3 @@
 import mojo_opset_tpu.backends.pallas.functions.loss  # noqa: F401
 import mojo_opset_tpu.backends.pallas.functions.normalization  # noqa: F401
+import mojo_opset_tpu.backends.pallas.functions.position_embedding  # noqa: F401

@@ -75,3 +75,44 @@ def mosaic_f16_compat(fn):
         )
 
     return wrapper
+
+
+def mosaic_f16_bitcast(fn):
+    """f16 support for PURE DATA-MOVEMENT kernels: bitcast f16 -> uint16.
+
+    ``mosaic_f16_compat``'s fp32 upcast is right for compute kernels but
+    catastrophic for in-place cache stores — upcasting the cache argument
+    copies the whole cache twice.  A kernel that only selects/copies bits
+    (``jnp.where`` merges, DMA copies — e.g. store_kv) is dtype-agnostic:
+    bitcast every f16 array to uint16 (free — same width, Mosaic-native
+    i16 vectors), run the kernel, and bitcast f16-typed outputs back.
+
+    Only kernels with NO arithmetic on the data may use this wrapper.
+    """
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        leaves = list(args) + list(kwargs.values())
+        if not any(_has_f16(v) for v in jax.tree_util.tree_leaves(leaves)):
+            return fn(*args, **kwargs)
+
+        def cast(x):
+            # any non-f16 float rides along by converting to f16 first
+            # (matches the kernel's own `states.astype(cache.dtype)`)
+            if _is_array(x) and jnp.issubdtype(jnp.dtype(x.dtype), jnp.floating):
+                return jax.lax.bitcast_convert_type(x.astype(_F16), jnp.uint16)
+            return x
+
+        new_args = [cast(a) for a in args]
+        new_kwargs = {k: cast(v) for k, v in kwargs.items()}
+        want = jax.eval_shape(lambda: fn(*args, **kwargs))
+        out = fn(*new_args, **new_kwargs)
+        return jax.tree_util.tree_map(
+            lambda o, w: jax.lax.bitcast_convert_type(o, w.dtype)
+            if (o.dtype == jnp.uint16 and w.dtype == _F16)
+            else o,
+            out,
+            want,
+        )
+
+    return wrapper

@@ -87,6 +87,44 @@ def rope_head_first(x: jax.Array, cos: jax.Array, sin: jax.Array,
     return out
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def rope_train(q: jax.Array, k: jax.Array, cos: jax.Array, sin: jax.Array,
+               interpret: bool = False):
+    """Training RoPE (head-first) with a hand-written backward.
+
+    Third kernel pair of the accelerated training-function tier (after
+    flce.py and rmsnorm_vjp.py), the analogue of the reference's TTX rope
+    fwd+bwd functions (backends/ttx/functions/ +
+    backends/ttx/kernels/npu/a2/rope.py).  rotate_half is a rotation
+    (R^T = -R = R^{-1}), so the cotangent rule
+
+        dq = g*cos + R^T(g)*sin = g*cos - R(g)*sin
+
+    is the SAME kernel applied with negated sin — forward and backward
+    both stream at IO dtype instead of autodiff-of-golden's fp32-promoted
+    HBM chain.  cos/sin are positional tables: their grads are zeros.
+    """
+    qr = rope_head_first(q, cos, sin, interpret=interpret)
+    kr = rope_head_first(k, cos, sin, interpret=interpret)
+    return qr, kr
+
+
+def _rope_train_fwd(q, k, cos, sin, interpret):
+    return rope_train(q, k, cos, sin, interpret), (cos, sin)
+
+
+def _rope_train_bwd(interpret, res, g):
+    cos, sin = res
+    gq, gk = g
+    neg = -sin
+    dq = rope_head_first(gq, cos, neg, interpret=interpret)
+    dk = rope_head_first(gk, cos, neg, interpret=interpret)
+    return dq, dk, jnp.zeros_like(cos), jnp.zeros_like(sin)
+
+
+rope_train.defvjp(_rope_train_fwd, _rope_train_bwd)
+
+
 @mosaic_f16_compat
 def rope_token_first(x: jax.Array, cos: jax.Array, sin: jax.Array,
                      interpret: bool = False) -> jax.Array:

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mojo_opset_tpu.backends.pallas.kernels._compat import mosaic_f16_compat
+from mojo_opset_tpu.backends.pallas.kernels._compat import mosaic_f16_bitcast
 
 
 def _store_kernel(
@@ -174,7 +174,7 @@ def _decode_store_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("kv_layout", "interpret"))
-@mosaic_f16_compat
+@mosaic_f16_bitcast
 def store_paged_kv_decode(
     key_states: jax.Array,  # (B, Hkv, D)
     value_states: jax.Array,
@@ -216,7 +216,7 @@ def store_paged_kv_decode(
 
 
 @functools.partial(jax.jit, static_argnames=("kv_layout", "interpret"))
-@mosaic_f16_compat
+@mosaic_f16_bitcast
 def store_paged_kv_prefill(
     key_states: jax.Array,  # (T, Hkv, D)
     value_states: jax.Array,

@@ -44,10 +44,10 @@ class PallasStorePagedKVCache(XlaStorePagedKVCache):
         # sub-tile and the kernel fails to compile (caught by the on-chip
         # accuracy lane at D=16).  Real serving shapes have D=128/256;
         # delegate the rest to the XLA scatter tier.
-        # Mosaic has no f16 buffers; the XLA tier's block-window merge
-        # store is the native-speed f16 path
-        if key_cache.dtype == jnp.float16 or chunk_metadata is not None \
-                or key_cache.shape[-1] % 128 != 0:
+        # Mosaic has no f16 buffers, but the store is pure data movement:
+        # the kernels bitcast f16 -> uint16 (mosaic_f16_bitcast) and run
+        # at native copy speed.  Sub-128-lane head dims still delegate.
+        if chunk_metadata is not None or key_cache.shape[-1] % 128 != 0:
             return super().forward(
                 key_states, value_states, key_cache, value_cache,
                 block_table, cu_q_lens, context_kv_lens,

@@ -379,3 +379,39 @@ def test_c8_store_xla_tier_matches_golden(seed, decode):
     got = xla(k_new, v_new, k_cache, v_cache, ks, vs, table, cu, ctx)
     np.testing.assert_array_equal(np.asarray(want[0]), np.asarray(got[0]))
     np.testing.assert_array_equal(np.asarray(want[1]), np.asarray(got[1]))
+
+
+@pytest.mark.parametrize("seed", seed_split(2, 3))
+@pytest.mark.parametrize("decode", [False, True])
+@pytest.mark.parametrize("kv_layout", ["HND", "NHD"])
+def test_f16_store_pallas_tier_bitcast_matches_golden(seed, decode, kv_layout):
+    """f16 caches at D=128 ride the Pallas store kernels via the uint16
+    bitcast path (mosaic_f16_bitcast): pure data movement, so equality
+    vs the golden scatter must be BIT-exact — no value ever converts."""
+    rng = np.random.default_rng(900 + seed)
+    case = _random_case(rng, decode=decode)
+    T = case["batch"] if decode else int(case["q_lens"].sum())
+    if T == 0:
+        pytest.skip("empty token batch")
+    hkv, d = 2, 128  # D=128: the Pallas-eligible lane-aligned head dim
+    bs = case["block_size"]
+    k_new = jnp.asarray(rng.standard_normal((T, hkv, d)), jnp.float16)
+    v_new = jnp.asarray(rng.standard_normal((T, hkv, d)), jnp.float16)
+    shape = ((case["n_blocks"], hkv, bs, d) if kv_layout == "HND"
+             else (case["n_blocks"], bs, hkv, d))
+    k_cache = jnp.asarray(rng.standard_normal(shape), jnp.float16)
+    v_cache = jnp.asarray(rng.standard_normal(shape), jnp.float16)
+    cu = None if decode else jnp.asarray(
+        np.concatenate([[0], np.cumsum(case["q_lens"])]), jnp.int32)
+    table, ctx = jnp.asarray(case["table"]), jnp.asarray(case["ctx"])
+
+    ref = m.MojoStorePagedKVCache.get_backend_impl("ref")(kv_layout=kv_layout)
+    pls = m.MojoStorePagedKVCache.get_backend_impl("pallas", strict=True)(
+        kv_layout=kv_layout)
+    want = ref(k_new, v_new, k_cache, v_cache, table, cu, ctx)
+    got = pls(k_new, v_new, k_cache, v_cache, table, cu, ctx)
+    assert got[0].dtype == jnp.float16 and got[1].dtype == jnp.float16
+    np.testing.assert_array_equal(
+        np.asarray(want[0]).view(np.uint16), np.asarray(got[0]).view(np.uint16))
+    np.testing.assert_array_equal(
+        np.asarray(want[1]).view(np.uint16), np.asarray(got[1]).view(np.uint16))

@@ -79,9 +79,40 @@ def bench_rmsnorm():
     return ("RMSNorm fwd+bwd", f"T={T} D={D} bf16", rows)
 
 
+def bench_rope():
+    from mojo_opset_tpu.core.functions.position_embedding import (
+        MojoApplyRoPEFunction as F,
+    )
+
+    B, Hq, Hk, S, D = 4, 32, 8, 4096, 128
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, Hq, S, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, Hk, S, D)), jnp.bfloat16)
+    cos = jnp.asarray(rng.standard_normal((S, D)), jnp.float32)
+    sin = jnp.asarray(rng.standard_normal((S, D)), jnp.float32)
+
+    rows = []
+    for tier in ("ref", "pallas"):
+        fn = F.get_backend_impl(tier, strict=True)()
+
+        def loss_grad(q, k):
+            def scalar(q, k):
+                qr, kr = fn(q, k, cos, sin)
+                return (qr.astype(jnp.float32).sum()
+                        + kr.astype(jnp.float32).sum())
+
+            return jax.value_and_grad(scalar, argnums=(0, 1))(q, k)
+
+        us = device_time_us(loss_grad, q, k)
+        # fwd reads+writes q,k; bwd reads gq,gk writes dq,dk (IO dtype)
+        gb = 4 * (q.size + k.size) * 2 / 1e9
+        rows.append((tier, us, gb / (us * 1e-6)))
+    return ("ApplyRoPE fwd+bwd", f"B={B} Hq={Hq} Hk={Hk} S={S} D={D} bf16", rows)
+
+
 def main():
     print(f"platform={jax.devices()[0].platform}")
-    for name, geo, rows in (bench_flce(), bench_rmsnorm()):
+    for name, geo, rows in (bench_flce(), bench_rmsnorm(), bench_rope()):
         (t0, us0, m0), (t1, us1, m1) = rows
         unit = "TFLOP/s" if "CE" in name else "GB/s"
         print(f"\n{name} @ {geo}")
