@@ -19,7 +19,7 @@ from mojo_opset_tpu.backends.pallas.kernels.store_kv import (
 )
 from mojo_opset_tpu.backends.xla.operators.kv_cache import (
     XlaStorePagedKVCache,
-    _chunk_plan,
+    compact_chunk_plan,
 )
 from mojo_opset_tpu.utils.platform import pallas_interpret_mode
 
@@ -75,7 +75,17 @@ class PallasStorePagedKVCache(XlaStorePagedKVCache):
                 key_states, value_states, key_cache, value_cache,
                 block_table, None, context_kv_lens,
             )
-        blk, src, off, length = _chunk_plan(block_table, cu_q_lens, context_kv_lens, bs)
+        if self.kv_layout != "NHD":
+            # HND prefill: the XLA compacted block merge wins outright
+            # (85 µs vs 354 µs for this kernel at the published
+            # (16,16,32,128) f16 row — the B*W chunk grid pays ~2 µs of
+            # Mosaic step latency per chunk, merge DMAs can't hide it)
+            return super().forward(
+                key_states, value_states, key_cache, value_cache,
+                block_table, cu_q_lens, context_kv_lens,
+            )
+        blk, src, off, length, _C = compact_chunk_plan(
+            block_table, cu_q_lens, context_kv_lens, bs, key_states.shape[0])
         blk = jnp.clip(blk, 0, key_cache.shape[0] - 1)
         return store_paged_kv_prefill(
             key_states, value_states, key_cache, value_cache,

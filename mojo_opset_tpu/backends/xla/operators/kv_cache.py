@@ -55,79 +55,80 @@ def _chunk_plan(block_table, cu_q_lens, context_kv_lens, block_size):
     )
 
 
-def _block_window_plan(block_table, cu_q_lens, context_kv_lens, bs, T, N):
-    """Per-(sequence, slot) touched-block plan shared by the merge stores.
+def compact_chunk_plan(block_table, cu_q_lens, context_kv_lens, bs, T):
+    """Compacted jittable chunk plan: only TOUCHED (sequence, block) pairs.
 
-    Returns (pid, pid_safe, tok_safe, new_here): the physical block id per
-    (B, V) window slot (dropped slots get the POSITIVE out-of-bounds id N —
-    -1 would wrap to block N-1 under standard negative indexing before
-    mode="drop" could apply), plus the (B, V, bs) token index and validity.
+    ``_chunk_plan`` emits one slot per (sequence, table-column) — B*W
+    entries, nearly all empty at realistic store shapes (a 16x11 table
+    storing 32 tokens/seq touches 32-48 blocks, not 176).  Each sequence
+    produces at most ``q_len // bs + 2`` chunks, so ``T // bs + 2B``
+    bounds the total statically; scatter the valid entries into that many
+    slots.  Returns (blk, src, off, length), each (C,) int32, trailing
+    slots length 0.
     """
     B, W = block_table.shape
-    ctx = context_kv_lens.astype(jnp.int32)
     if cu_q_lens is None:  # decode: token b at position ctx[b]
-        cu = jnp.arange(B + 1, dtype=jnp.int32)
-    else:
-        cu = cu_q_lens.astype(jnp.int32)
-    q_lens = cu[1:] - cu[:-1]
+        cu_q_lens = jnp.arange(B + 1, dtype=jnp.int32)
+    blk, src, off, length = _chunk_plan(block_table, cu_q_lens, context_kv_lens, bs)
+    C = min(B * W, T // bs + 2 * B)
+    if C >= B * W:
+        return blk, src, off, length, C
+    valid = length > 0
+    pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    pos = jnp.where(valid, pos, C)  # invalid entries dropped
 
-    V = min(W, T // bs + 2)  # static per-sequence touched-block bound
-    w0 = jnp.maximum(ctx, 0) // bs  # first touched logical block
-    logical = w0[:, None] + jnp.arange(V, dtype=jnp.int32)[None, :]  # (B,V)
-    in_table = logical < W
-    pid = jnp.where(
-        in_table, block_table[jnp.arange(B)[:, None], jnp.clip(logical, 0, W - 1)], -1
-    ).astype(jnp.int32)
+    def put(x, fill):
+        return jnp.full((C,), fill, jnp.int32).at[pos].set(
+            x.astype(jnp.int32), mode="drop", unique_indices=True
+        )
 
-    # token index of each (b, slot, row) and its validity
-    pos = logical[..., None] * bs + jnp.arange(bs, dtype=jnp.int32)  # (B,V,bs)
-    tok = cu[:-1][:, None, None] + pos - ctx[:, None, None]
-    new_here = (pos >= ctx[:, None, None]) & (pos < (ctx + q_lens)[:, None, None])
-    new_here &= (pid >= 0)[..., None]
-    tok_safe = jnp.clip(tok, 0, T - 1)
-
-    # only write back blocks that actually receive tokens
-    pid = jnp.where(new_here.any(-1) & (pid >= 0), pid, N)
-    return pid, jnp.clip(pid, 0, N - 1), tok_safe, new_here
+    return put(blk, 0), put(src, 0), put(off, 0), put(length, 0), C
 
 
-def _f16_block_merge_store(
+def _block_merge_store(
     key_states, value_states, key_cache, value_cache,
     block_table, cu_q_lens, context_kv_lens, nhd: bool,
 ):
-    """f16 store as a block-window gather -> register merge -> scatter.
+    """Prefill store as a compacted gather -> register merge -> scatter.
 
-    XLA:TPU has no native f16 ALU: the token-row scatter converts the
-    whole cache per call (measured 50-2500 µs where the bf16 twin costs
-    ~5 µs), and a bf16 bitcast round-trip copies the cache twice
-    (tools/exp_f16_store.py).  Data movement at BLOCK granularity stays
-    native: gather the <= min(W, T//bs + 2) blocks per sequence that can
-    contain new tokens, merge the new token rows in registers (converts
-    fuse into the gather/scatter, never touching HBM), and scatter the
-    merged block images back as wide rows.  Traffic = touched blocks
-    read+write only; every published f16 row lands at or under the
-    reference's 910B latency envelope.
+    Gather the touched cache blocks (compact_chunk_plan: <= T//bs + 2B of
+    them, not a per-sequence window), merge the new token rows in
+    registers, scatter the merged block images back as wide rows.
+    Traffic = touched blocks read+write only, at block-row granularity —
+    which XLA moves at copy speed for every dtype including f16 (the
+    token-row scatter converts the WHOLE f16 cache per call: 50-2500 µs
+    where the bf16 twin costs ~5 µs — tools/exp_f16_store.py; and the
+    serial per-chunk dynamic_update_slice loop this replaces paid ~2 µs
+    of dispatch per touched block).  Measured at the published
+    (16,16,32,128) f16 row: 85 µs vs 354 µs for the B*W-grid Pallas
+    merge kernel and ~46 GB/s for the row scatter.
     """
     if nhd:
         N, bs, H, D = key_cache.shape
     else:
         N, H, bs, D = key_cache.shape
     T = key_states.shape[0]
-    pid, pid_safe, tok_safe, new_here = _block_window_plan(
-        block_table, cu_q_lens, context_kv_lens, bs, T, N)
+    blk, src, off, length, C = compact_chunk_plan(
+        block_table, cu_q_lens, context_kv_lens, bs, T)
+    rows = jnp.arange(bs, dtype=jnp.int32)[None, :]
+    # block row r of chunk c holds token src[c] - off[c] + r
+    tok_safe = jnp.clip(src[:, None] - off[:, None] + rows, 0, T - 1)  # (C,bs)
+    new_here = (rows >= off[:, None]) & (rows < (off + length)[:, None])
+    pid = jnp.where(length > 0, blk, N)  # drop empty slots (POSITIVE OOB id)
+    pid_safe = jnp.clip(blk, 0, N - 1)
 
     def merge(cache, new):
-        cur = cache[pid_safe]  # (B,V,bs,H,D) NHD / (B,V,H,bs,D) HND
+        cur = cache[pid_safe]  # (C,bs,H,D) NHD / (C,H,bs,D) HND
         if nhd:
-            picked = new[tok_safe]  # (B,V,bs,H,D)
+            picked = new[tok_safe]  # (C,bs,H,D)
             keep = new_here[..., None, None]
         else:
-            # gather token-major (B*V*bs rows of contiguous (H,D)), then
+            # gather token-major (C*bs rows of contiguous (H,D)), then
             # transpose in-slab: a direct (slot-row, head) gather would be
-            # B*V*H*bs scatter-sized rows — row-rate bound (~800 µs at the
+            # C*H*bs scatter-sized rows — row-rate bound (~800 µs at the
             # (16,16,32,128) published row vs ~35 µs this way)
-            picked = jnp.swapaxes(new[tok_safe], 2, 3)  # -> (B,V,H,bs,D)
-            keep = new_here[:, :, None, :, None]
+            picked = jnp.swapaxes(new[tok_safe], 1, 2)  # -> (C,H,bs,D)
+            keep = new_here[:, None, :, None]
         merged = jnp.where(keep, picked.astype(cache.dtype), cur)
         return cache.at[pid].set(merged, mode="drop", unique_indices=True)
 
@@ -147,63 +148,23 @@ class XlaStorePagedKVCache(MojoStorePagedKVCache):
         *,
         chunk_metadata: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, jax.Array]:
-        if chunk_metadata is None and key_cache.dtype == jnp.float16:
-            return _f16_block_merge_store(
-                key_states, value_states, key_cache, value_cache,
-                block_table, cu_q_lens, context_kv_lens,
-                nhd=self.kv_layout == "NHD",
-            )
-        if cu_q_lens is None or chunk_metadata is not None:
-            # decode fast path / explicit plans: the golden scatter is right
+        if chunk_metadata is not None or (
+            cu_q_lens is None and key_cache.dtype != jnp.float16
+        ):
+            # explicit plans, and the decode fast path: the golden scatter
+            # is right there (token rows are single cache rows; a block
+            # merge would read bs x the traffic)
             return super().forward(
                 key_states, value_states, key_cache, value_cache,
                 block_table, cu_q_lens, context_kv_lens,
                 chunk_metadata=chunk_metadata,
             )
         assert key_states.ndim == 3 and key_states.shape == value_states.shape
-        nhd = self.kv_layout == "NHD"
-        bs = key_cache.shape[1] if nhd else key_cache.shape[2]
-        Hkv, D = key_states.shape[1], key_states.shape[2]
-
-        blk, src, off, length = _chunk_plan(block_table, cu_q_lens, context_kv_lens, bs)
-        blk_safe = jnp.clip(blk, 0, key_cache.shape[0] - 1)
-
-        # pad token rows so dynamic_slice at (src - off + bs) is in range
-        def pad(x):
-            return jnp.pad(x, ((bs, bs), (0, 0), (0, 0))).astype(key_cache.dtype)
-
-        k_pad, v_pad = pad(key_states), pad(value_states)
-        rows = jnp.arange(bs, dtype=jnp.int32)
-
-        def body(i, caches):
-            kc, vc = caches
-            b, s, o, L = blk_safe[i], src[i], off[i], length[i]
-            # block row r holds token (s - o) + r for r in [o, o+L)
-            start = s - o + bs
-            k_slab = jax.lax.dynamic_slice(k_pad, (start, 0, 0), (bs, Hkv, D))
-            v_slab = jax.lax.dynamic_slice(v_pad, (start, 0, 0), (bs, Hkv, D))
-            keep = ((rows >= o) & (rows < o + L))[:, None, None]
-            if nhd:
-                cur_k = jax.lax.dynamic_slice(kc, (b, 0, 0, 0), (1, bs, Hkv, D))[0]
-                cur_v = jax.lax.dynamic_slice(vc, (b, 0, 0, 0), (1, bs, Hkv, D))[0]
-                new_k = jnp.where(keep, k_slab, cur_k)
-                new_v = jnp.where(keep, v_slab, cur_v)
-                kc = jax.lax.dynamic_update_slice(kc, new_k[None], (b, 0, 0, 0))
-                vc = jax.lax.dynamic_update_slice(vc, new_v[None], (b, 0, 0, 0))
-            else:  # HND (N, Hkv, bs, D): slab transposed to (Hkv, bs, D)
-                cur_k = jax.lax.dynamic_slice(kc, (b, 0, 0, 0), (1, Hkv, bs, D))[0]
-                cur_v = jax.lax.dynamic_slice(vc, (b, 0, 0, 0), (1, Hkv, bs, D))[0]
-                keep_t = jnp.swapaxes(keep, 0, 1)  # (1->Hkv broadcast, bs, 1)
-                new_k = jnp.where(keep_t, jnp.swapaxes(k_slab, 0, 1), cur_k)
-                new_v = jnp.where(keep_t, jnp.swapaxes(v_slab, 0, 1), cur_v)
-                kc = jax.lax.dynamic_update_slice(kc, new_k[None], (b, 0, 0, 0))
-                vc = jax.lax.dynamic_update_slice(vc, new_v[None], (b, 0, 0, 0))
-            return kc, vc
-
-        key_cache, value_cache = jax.lax.fori_loop(
-            0, blk.shape[0], body, (key_cache, value_cache)
+        return _block_merge_store(
+            key_states, value_states, key_cache, value_cache,
+            block_table, cu_q_lens, context_kv_lens,
+            nhd=self.kv_layout == "NHD",
         )
-        return key_cache, value_cache
 
 
 class XlaStorePagedKVCacheC8(_MojoStorePagedKVCacheC8):
@@ -243,7 +204,7 @@ class XlaStorePagedKVCacheC8(_MojoStorePagedKVCacheC8):
             jnp.round(value_states.astype(jnp.float32) / value_scale.astype(jnp.float32)),
             -128, 127,
         ).astype(jnp.int8)
-        return _f16_block_merge_store(
+        return _block_merge_store(
             key_q, value_q, key_cache, value_cache,
             block_table, cu_q_lens, context_kv_lens, nhd=False,
         )
@@ -266,16 +227,21 @@ class XlaStorePagedMLAKVCache(_MojoStorePagedMLAKVCache):
     ) -> Tuple[jax.Array, jax.Array]:
         N, _, bs, _ = compressed_kv_cache.shape
         T = compressed_kv_states.shape[0]
-        pid, pid_safe, tok_safe, new_here = _block_window_plan(
-            block_table, cu_q_lens, context_kv_lens, bs, T, N)
+        blk, src, off, length, _C = compact_chunk_plan(
+            block_table, cu_q_lens, context_kv_lens, bs, T)
+        rows = jnp.arange(bs, dtype=jnp.int32)[None, :]
+        tok_safe = jnp.clip(src[:, None] - off[:, None] + rows, 0, T - 1)  # (C,bs)
+        new_here = (rows >= off[:, None]) & (rows < (off + length)[:, None])
+        pid = jnp.where(length > 0, blk, N)
+        pid_safe = jnp.clip(blk, 0, N - 1)
 
         def merge(cache, new2d, d_valid):
             D = cache.shape[-1]
             if new2d.shape[-1] < D:  # lane-padded k_pe cache
                 new2d = jnp.pad(new2d, ((0, 0), (0, D - new2d.shape[-1])))
-            cur = cache[pid_safe]  # (B, V, 1, bs, D)
-            picked = new2d[tok_safe][:, :, None, :, :].astype(cache.dtype)
-            keep = new_here[:, :, None, :, None] & (
+            cur = cache[pid_safe]  # (C, 1, bs, D)
+            picked = new2d[tok_safe][:, None, :, :].astype(cache.dtype)
+            keep = new_here[:, None, :, None] & (
                 jnp.arange(D, dtype=jnp.int32) < d_valid)
             merged = jnp.where(keep, picked, cur)
             return cache.at[pid].set(merged, mode="drop", unique_indices=True)
