@@ -13,7 +13,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from mojo_opset_tpu.backends.pallas.kernels.rope import _fits, rope_train
+from mojo_opset_tpu.backends.pallas.kernels.rope import head_first_supported, rope_train
 from mojo_opset_tpu.core.functions.position_embedding import MojoApplyRoPEFunction
 from mojo_opset_tpu.utils.platform import pallas_interpret_mode
 
@@ -36,7 +36,7 @@ class PallasApplyRoPEFunction(MojoApplyRoPEFunction):
             or q.shape[-1] % 128 != 0
             or cos.shape != q.shape[-2:]
             or sin.shape != q.shape[-2:]
-            or not _fits(q.shape[2], q.shape[1] * q.shape[3] * 12)
+            or not head_first_supported(q.shape[2], q.shape[1], q.shape[3], q.dtype)
         ):
             return super().forward(q, k, cos, sin, head_first)
         if jnp.issubdtype(q.dtype, jnp.floating) and q.dtype != k.dtype:

@@ -88,19 +88,30 @@ def mosaic_f16_bitcast(fn):
     i16 vectors), run the kernel, and bitcast f16-typed outputs back.
 
     Only kernels with NO arithmetic on the data may use this wrapper.
+
+    The bitcast path is taken only when EVERY floating array leaf is f16.
+    Mixed calls (e.g. f16 states into a bf16/f32 cache, which the golden
+    handles via ``states.astype(cache.dtype)``) must NOT be bitcast: the
+    cache would be lossily squeezed through f16 and the returned cache
+    would keep dtype uint16.  Those calls fall back to the fp32-upcast
+    compat path, which preserves every non-f16 dtype exactly.
     """
+
+    compat_fn = mosaic_f16_compat(fn)
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
-        leaves = list(args) + list(kwargs.values())
-        if not any(_has_f16(v) for v in jax.tree_util.tree_leaves(leaves)):
+        leaves = [v for v in jax.tree_util.tree_leaves(list(args) + list(kwargs.values())) if _is_array(v)]
+        float_leaves = [v for v in leaves if jnp.issubdtype(jnp.dtype(v.dtype), jnp.floating)]
+        if not any(_has_f16(v) for v in float_leaves):
             return fn(*args, **kwargs)
+        if not all(_has_f16(v) for v in float_leaves):
+            # mixed f16 / non-f16 floats: the zero-copy bitcast is unsafe
+            return compat_fn(*args, **kwargs)
 
         def cast(x):
-            # any non-f16 float rides along by converting to f16 first
-            # (matches the kernel's own `states.astype(cache.dtype)`)
             if _is_array(x) and jnp.issubdtype(jnp.dtype(x.dtype), jnp.floating):
-                return jax.lax.bitcast_convert_type(x.astype(_F16), jnp.uint16)
+                return jax.lax.bitcast_convert_type(x, jnp.uint16)
             return x
 
         new_args = [cast(a) for a in args]

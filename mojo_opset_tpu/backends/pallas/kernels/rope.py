@@ -25,6 +25,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mojo_opset_tpu.backends.pallas.kernels._compat import mosaic_f16_compat
 
+_F16_DT = jnp.dtype(jnp.float16)
+
 
 def _pick_block(n: int, row_bytes: int, budget: int = 2 * 1024 * 1024) -> int:
     for cand in (1024, 512, 256, 128, 64, 32, 16, 8):
@@ -35,6 +37,31 @@ def _pick_block(n: int, row_bytes: int, budget: int = 2 * 1024 * 1024) -> int:
 
 def _fits(n: int, row_bytes: int, budget: int = 12 * 1024 * 1024) -> bool:
     return _pick_block(n, row_bytes, budget) * row_bytes <= budget
+
+
+_HEAD_FIRST_BUDGET = 8 * 1024 * 1024
+
+
+def _head_first_row_bytes(H: int, D: int, dtype) -> int:
+    # must mirror rope_head_first's block picker exactly, including the
+    # f16 -> f32 upcast performed by mosaic_f16_compat before the picker
+    # ever sees the array
+    dt = jnp.dtype(dtype)
+    if dt == _F16_DT:
+        dt = jnp.dtype(jnp.float32)
+    return H * D * (2 * max(dt.itemsize, 2) + 8)
+
+
+def head_first_supported(S: int, H: int, D: int, dtype) -> bool:
+    """True iff rope_head_first will tile (·, H, S, D) within its VMEM budget.
+
+    Dispatch guards must call this (not a hand-rolled byte formula): it is
+    derived from the same row-bytes expression and budget the kernel's
+    block picker uses, so a geometry that passes can never land in
+    ``_pick_block``'s blk=S fallback and oversubscribe VMEM.
+    """
+    row = _head_first_row_bytes(H, D, dtype)
+    return _pick_block(S, row, _HEAD_FIRST_BUDGET) * row <= _HEAD_FIRST_BUDGET
 
 
 def _rotate(x):

@@ -39,11 +39,16 @@ class PallasApplyRoPE(MojoApplyRoPE):
         )
         interpret = pallas_interpret_mode()
         if table_ok and head_first and q.ndim == 4 and k.ndim == 4:
-            from mojo_opset_tpu.backends.pallas.kernels.rope import _fits
+            from mojo_opset_tpu.backends.pallas.kernels.rope import head_first_supported
 
             S = q.shape[2]
-            row = max(q.shape[1], k.shape[1]) * D * (2 * q.dtype.itemsize + 8)
-            if cos.shape[-2] == S and k.shape[2] == S and S % 8 == 0 and _fits(S, row):
+            H = max(q.shape[1], k.shape[1])
+            if (
+                cos.shape[-2] == S
+                and k.shape[2] == S
+                and S % 8 == 0
+                and head_first_supported(S, H, D, q.dtype)
+            ):
                 c2 = cos.reshape(S, D)
                 s2 = sin.reshape(S, D)
                 return (

@@ -102,6 +102,17 @@ def _block_merge_store(
     of dispatch per touched block).  Measured at the published
     (16,16,32,128) f16 row: 85 µs vs 354 µs for the B*W-grid Pallas
     merge kernel and ~46 GB/s for the row scatter.
+
+    Contract (consequence of ``unique_indices=True``): every chunk merges
+    against the ORIGINAL cache image and the scatter assumes disjoint
+    block ids, so a physical block appearing in the write plans of two
+    stored sequences yields undefined results — unlike the golden's
+    serial per-chunk loop, which was last-write-wins.  This matches the
+    allocator's invariant (a physical block is owned by exactly one
+    sequence; prefix-cache sharing is read-only and never stored into),
+    and the reference kernel store has the same requirement (parallel
+    per-chunk Triton programs, reference backends/ttx/kernels/npu/a2/
+    kv_cache.py).  Callers with aliasing tables must use the ref tier.
     """
     if nhd:
         N, bs, H, D = key_cache.shape

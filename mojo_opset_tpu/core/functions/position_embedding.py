@@ -24,6 +24,14 @@ class MojoApplyRoPEFunction(MojoFunction):
         sin: jax.Array,
         head_first: bool = True,
     ) -> Tuple[jax.Array, jax.Array]:
+        # cos/sin are positional tables, non-trainable by contract: the
+        # reference backward returns None for them on every tier
+        # (reference core/functions/position_embedding.py:63-80 and
+        # backends/ttx/functions/position_embedding.py:27-36).  stop_gradient
+        # here keeps the golden's autodiff consistent with the Pallas tier's
+        # hand-written backward, which also zeroes these cotangents.
+        cos = jax.lax.stop_gradient(cos)
+        sin = jax.lax.stop_gradient(sin)
         if head_first:
             cos = jnp.expand_dims(cos, -3)
             sin = jnp.expand_dims(sin, -3)

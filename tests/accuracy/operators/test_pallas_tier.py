@@ -228,6 +228,40 @@ def test_pallas_paged_prefill_kv_dequant_matches_ref():
     op_p.forward_diff_with(op_r, *args, atol=2e-2, rtol=2e-2)
 
 
+@pytest.mark.parametrize("mode", ["prefill", "decode"])
+def test_pallas_store_mixed_f16_states_bf16_cache(mode):
+    """Regression: f16 states into a bf16 cache must NOT ride the uint16
+    bitcast path (the cache would be squeezed through f16 and come back
+    typed uint16) — mixed-float calls fall back to the upcast compat path
+    and the caches keep their dtype exactly."""
+    rng = np.random.default_rng(5)
+    N, bs, Hkv, D = 8, 4, 2, 128
+    kc = jnp.asarray(rng.standard_normal((N, bs, Hkv, D)), jnp.bfloat16)
+    vc = jnp.asarray(rng.standard_normal((N, bs, Hkv, D)), jnp.bfloat16)
+    if mode == "prefill":
+        q_lens = (5, 3)
+        ctx = (0, 2)
+        T = sum(q_lens)
+        cu_q = jnp.asarray([0, 5, 8], jnp.int32)
+        ctx_lens = jnp.asarray(ctx, jnp.int32)
+    else:
+        T = 2
+        cu_q = None
+        ctx_lens = jnp.asarray([1, 6], jnp.int32)
+    bt = jnp.asarray([[0, 1, -1], [2, 3, -1]], jnp.int32)
+    ks = jnp.asarray(rng.standard_normal((T, Hkv, D)), jnp.float16)
+    vs = jnp.asarray(rng.standard_normal((T, Hkv, D)), jnp.float16)
+    op_p = m.MojoStorePagedKVCache.get_backend_impl("pallas", strict=True)(kv_layout="NHD")
+    op_r = m.MojoStorePagedKVCache.get_backend_impl("ref")(kv_layout="NHD")
+    got_k, got_v = op_p(ks, vs, kc, vc, bt, cu_q, ctx_lens)
+    want_k, want_v = op_r(ks, vs, kc, vc, bt, cu_q, ctx_lens)
+    for got, want in ((got_k, want_k), (got_v, want_v)):
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want, np.float32),
+                                   atol=1e-2, rtol=1e-2)
+
+
 # -- ApplyRoPE kernel ---------------------------------------------------
 
 
