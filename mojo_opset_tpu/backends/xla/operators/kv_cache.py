@@ -159,12 +159,31 @@ class XlaStorePagedKVCache(MojoStorePagedKVCache):
         *,
         chunk_metadata: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, jax.Array]:
-        if chunk_metadata is not None or (
-            cu_q_lens is None and key_cache.dtype != jnp.float16
-        ):
-            # explicit plans, and the decode fast path: the golden scatter
-            # is right there (token rows are single cache rows; a block
-            # merge would read bs x the traffic)
+        T = key_states.shape[0]
+        B = block_table.shape[0] if block_table is not None else T
+        bs = key_cache.shape[2] if self.kv_layout == "HND" else key_cache.shape[1]
+        # Route by STATIC store size.  The token-row scatter moves only the
+        # stored rows but at scatter rate (~46 GB/s on v5e); the block merge
+        # moves every touched block twice at copy speed (~819 GB/s).  Model:
+        # scatter ~ 18x-slower bytes * T rows, merge ~ 4 * (T + 2 * bs * B)
+        # rows at copy speed => scatter wins iff 7 * T < 4 * bs * B (decode
+        # T == B always qualifies; bulk prefill never does).  Measured at the
+        # published decode rows: merge 62 us -> scatter 24-31 us.
+        small = cu_q_lens is None or 7 * T < 4 * bs * B
+        if chunk_metadata is not None or small:
+            if chunk_metadata is None and key_cache.dtype == jnp.float16:
+                # f16 rides the scatter as uint16 bits: a native f16 row
+                # scatter makes XLA:TPU convert the WHOLE cache per call
+                # (tools/exp_f16_store.py); uint16 moves rows natively
+                u16 = lambda x: jax.lax.bitcast_convert_type(  # noqa: E731
+                    x.astype(jnp.float16), jnp.uint16)
+                kc, vc = super().forward(
+                    u16(key_states), u16(value_states),
+                    u16(key_cache), u16(value_cache),
+                    block_table, cu_q_lens, context_kv_lens,
+                )
+                back = lambda x: jax.lax.bitcast_convert_type(x, jnp.float16)  # noqa: E731
+                return back(kc), back(vc)
             return super().forward(
                 key_states, value_states, key_cache, value_cache,
                 block_table, cu_q_lens, context_kv_lens,
