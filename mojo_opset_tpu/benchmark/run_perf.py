@@ -24,7 +24,11 @@ from mojo_opset_tpu.benchmark.api import (
     PerfSpec,
     discover_perf_specs,
 )
-from mojo_opset_tpu.benchmark.timing import device_sync, device_time_us
+from mojo_opset_tpu.benchmark.timing import (
+    device_sync,
+    device_time_us,
+    profiled_time_us,
+)
 from mojo_opset_tpu.core.registry import BackendNotAvailable
 from mojo_opset_tpu.utils.logging import get_logger, log_table
 
@@ -88,7 +92,20 @@ def run_case(spec: PerfSpec, provider: str, case, iters: int = 16,
     thread_idx = tuple(
         (workload.args.index(name), out_pos) for name, out_pos in workload.thread.items()
     )
-    us = device_time_us(fn, *flat_args, iters=iters, thread_idx=thread_idx)
+    prof = spec.profiling
+    us = -1.0
+    timing_src = "chain"
+    if prof.kernels is not None:
+        # profile(kernels=...) selects profiler kernel spans, like the
+        # reference's span timing (reference benchmark/xpu_adapter.py:339-373)
+        us = profiled_time_us(
+            fn, *flat_args, iters=iters,
+            kernels=prof.kernels, match=prof.match, reduction=prof.reduction,
+        )
+        timing_src = "profiler"
+    if us < 0:
+        us = device_time_us(fn, *flat_args, iters=iters, thread_idx=thread_idx)
+        timing_src = "chain"
     rec = {
         "op": spec.name,
         "case": case.id,
@@ -96,6 +113,7 @@ def run_case(spec: PerfSpec, provider: str, case, iters: int = 16,
         # 3 decimals: device_time_us floors noise-dominated marginals at
         # 1e-3 us, which 2-decimal rounding would collapse to 0
         "us": round(us, 3),
+        "timing": timing_src,
     }
     if workload.flops:
         rec["tflops"] = round(workload.flops / (us * 1e-6) / 1e12, 6)

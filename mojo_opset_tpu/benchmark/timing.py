@@ -154,3 +154,71 @@ def device_time_us(
             break
         n *= 2
     return max(per_call * 1e6, 1e-3)
+
+
+def profiled_time_us(
+    fn: Callable, *args, iters: int = 8, kernels=None, match: str = "any",
+    reduction: str = "span",
+) -> float:
+    """Per-call time attributed to profiler kernel spans, in microseconds.
+
+    Wires the perf API's ``profile(kernels=..., match=..., reduction=...)``
+    spec (api.py ProfileSpec) the way the reference attributes op latency
+    to named kernel spans (reference benchmark/xpu_adapter.py:339-373):
+    run ``iters`` eager calls under ``jax.profiler.trace``, parse the
+    exported Chrome-trace events, keep complete ('ph' == 'X') events whose
+    name matches any/all of the ``kernels`` fnmatch patterns, and reduce:
+
+      - ``reduction='sum'``: total matched kernel time / iters
+      - ``reduction='span'``: (last matched end - first matched start) / iters
+        (includes gaps between the matched kernels — the reference's
+        span-of-spans semantics)
+
+    Returns -1.0 when the platform produced no matching events (e.g. a
+    remote-tunneled device with no local device trace) — callers fall
+    back to ``device_time_us``.
+    """
+    import fnmatch
+    import glob
+    import gzip
+    import json
+    import shutil
+    import tempfile
+
+    out = fn(*args)
+    device_sync(out)
+    tmp = tempfile.mkdtemp(prefix="mojo_prof_")
+    try:
+        with jax.profiler.trace(tmp):
+            for _ in range(iters):
+                device_sync(fn(*args))
+        traces = glob.glob(tmp + "/**/*.trace.json.gz", recursive=True)
+        if not traces:
+            return -1.0
+        events = []
+        for path in traces:
+            with gzip.open(path, "rt") as f:
+                events.extend(json.load(f).get("traceEvents", []))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    pats = list(kernels) if kernels else ["*"]
+
+    def matches(name: str) -> bool:
+        if name.startswith("$"):  # python source spans, never kernels
+            return False
+        hits = [fnmatch.fnmatch(name, p) for p in pats]
+        return all(hits) if match == "all" else any(hits)
+
+    spans = [
+        (e["ts"], e["ts"] + e["dur"], e["dur"])
+        for e in events
+        if e.get("ph") == "X" and "dur" in e and matches(e.get("name", ""))
+    ]
+    if not spans:
+        return -1.0
+    if reduction == "sum":
+        total = sum(d for _, _, d in spans)
+    else:  # span-of-spans
+        total = max(e for _, e, _ in spans) - min(s for s, _, _ in spans)
+    return max(float(total) / iters, 1e-3)

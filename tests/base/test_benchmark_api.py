@@ -150,3 +150,38 @@ def test_store_kv_descriptor_threads_caches():
     # positions resolve inside args
     for name in wl.thread:
         assert name in wl.args
+
+
+def test_profile_spec_drives_profiler_span_timing():
+    # profile(kernels=...) must switch run_case to profiler-span timing
+    # (reference benchmark/xpu_adapter.py:339-373 span-of-spans semantics);
+    # platforms that export no matching trace events fall back to the chain
+    # timer, recorded in rec["timing"].
+    cases = [perf_case("tiny", tags=("smoke",), T=8, D=64)]
+    from mojo_opset_tpu.benchmark.api import profile
+
+    @mojo_perf("UnitTestProfiled", m.MojoRMSNorm, cases,
+               profiling=profile(kernels=("*",), reduction="sum"))
+    def wl(case):
+        T, D = case.params["T"], case.params["D"]
+        return PerfWorkload(
+            inputs={"hidden": tensor((T, D), jnp.float32)},
+            op_kwargs={"norm_size": D}, args=("hidden",),
+        )
+
+    rec = run_case(PERF_REGISTRY["UnitTestProfiled"], "ref", cases[0], iters=2)
+    assert rec["us"] > 0
+    assert rec["timing"] in ("profiler", "chain")
+
+
+def test_profiled_time_us_matches_kernels_on_cpu():
+    from mojo_opset_tpu.benchmark.timing import profiled_time_us
+
+    x = jnp.ones((256, 256))
+    f = jax.jit(lambda a: a @ a)
+    f(x).block_until_ready()
+    us = profiled_time_us(f, x, iters=4, kernels=("dot*",), reduction="sum")
+    # CPU exports dot_general events; a matmul this size costs real time
+    assert us > 0
+    none = profiled_time_us(f, x, iters=2, kernels=("no_such_kernel_*",))
+    assert none == -1.0
