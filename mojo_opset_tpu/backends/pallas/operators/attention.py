@@ -116,21 +116,54 @@ class PallasPagedPrefillGQA(MojoPagedPrefillGQA):
 
 
 class PallasSdpa(MojoSdpa):
-    """Mask-free SDPA on the in-tree Mosaic flash kernel with tuned block
-    sizes (8.7x the reference TTXSdpa baseline at the 4096-token shape);
-    masked or oddly-shaped calls stay on the golden path."""
+    """SDPA on the in-tree Mosaic flash kernel with tuned block sizes
+    (8.7x the reference TTXSdpa baseline at the 4096-token shape).
+
+    Tile-unaligned sequence lengths are zero-padded to the 128 grid and
+    masked via flash segment ids (pad rows/keys get segment 0, real
+    tokens segment 1) — this is what keeps the Wan DiT backbone
+    (L = 1560 at the (1,60,104) latent) on the flash path instead of the
+    golden's (B, H, L, L) f32 score materialization.  Boolean KEY-PADDING
+    masks of shape (..., 1, 1|Lq, Lkv) ride the same segment-id path;
+    arbitrary additive or per-query masks fall back to the golden."""
+
+    @staticmethod
+    def _as_key_padding(attn_mask, Bq, Lkv):
+        """(B, Lkv) bool key-validity, or None if the mask is not a pure
+        key-padding mask (boolean, constant over heads and query rows:
+        shape (Lkv,), (1|B, 1, 1, Lkv) or any all-1 leading dims)."""
+        if attn_mask is None or attn_mask.dtype != jnp.bool_:
+            return None
+        sh = attn_mask.shape
+        if not sh or sh[-1] != Lkv:
+            return None
+        lead = sh[:-1]
+        # every leading dim except (optionally) the batch dim must be 1
+        batch_ok = all(d == 1 for d in lead) or (
+            lead and lead[0] in (1, Bq) and all(d == 1 for d in lead[1:])
+        )
+        if not batch_ok:
+            return None
+        flat = attn_mask.reshape((-1, Lkv))
+        return flat if flat.shape[0] == Bq else jnp.broadcast_to(
+            flat[:1], (Bq, Lkv))
 
     def forward(self, query, key, value, attn_mask=None):
-        B = query.ndim
+        Lq, Lkv = query.shape[-2], key.shape[-2]
+        key_pad = self._as_key_padding(attn_mask, query.shape[0], Lkv) \
+            if query.ndim == 4 else None
         if (
-            attn_mask is not None
+            (attn_mask is not None and key_pad is None)
             or pallas_interpret_mode()
-            or B != 4
+            or query.ndim != 4
             or query.shape[-1] % 128 != 0
-            or _flash_blocks(query.shape[-2], key.shape[-2]) is None
+            or min(Lq, Lkv) < 16
         ):
             return MojoSdpa.forward(self, query, key, value, attn_mask)
-        from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            SegmentIds,
+            flash_attention,
+        )
 
         k, v = key, value
         if self.enable_gqa and query.shape[-3] != key.shape[-3]:
@@ -138,10 +171,33 @@ class PallasSdpa(MojoSdpa):
             k = jnp.repeat(k, group, axis=-3)
             v = jnp.repeat(v, group, axis=-3)
         scale = self.scale if self.scale is not None else 1.0 / math.sqrt(query.shape[-1])
-        return flash_attention(
-            query, k, v, causal=False, sm_scale=scale,
-            block_sizes=_flash_blocks(query.shape[-2], k.shape[-2]),
+
+        q = query
+        Lqp = -(-Lq // 128) * 128
+        Lkp = -(-Lkv // 128) * 128
+        Bn = q.shape[0]
+        seg = None
+        if Lqp != Lq or Lkp != Lkv or key_pad is not None:
+            if Lqp != Lq:
+                q = jnp.pad(q, ((0, 0), (0, 0), (0, Lqp - Lq), (0, 0)))
+            if Lkp != Lkv:
+                k = jnp.pad(k, ((0, 0), (0, 0), (0, Lkp - Lkv), (0, 0)))
+                v = jnp.pad(v, ((0, 0), (0, 0), (0, Lkp - Lkv), (0, 0)))
+            q_ids = jnp.broadcast_to(
+                (jnp.arange(Lqp) < Lq).astype(jnp.int32)[None], (Bn, Lqp))
+            kv_valid = (jnp.arange(Lkp) < Lkv)[None]
+            if key_pad is not None:
+                kv_valid = kv_valid & jnp.pad(key_pad, ((0, 0), (0, Lkp - Lkv)))
+            kv_ids = jnp.broadcast_to(kv_valid.astype(jnp.int32), (Bn, Lkp))
+            seg = SegmentIds(q=q_ids, kv=kv_ids)
+        blocks = _flash_blocks(Lqp, Lkp)
+        if blocks is None:
+            return MojoSdpa.forward(self, query, key, value, attn_mask)
+        out = flash_attention(
+            q, k, v, segment_ids=seg, causal=False, sm_scale=scale,
+            block_sizes=blocks,
         ).astype(query.dtype)
+        return out[:, :, :Lq] if Lqp != Lq else out
 
 
 class PallasPrefillGQA(MojoPrefillGQA):

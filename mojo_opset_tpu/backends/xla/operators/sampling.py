@@ -28,6 +28,25 @@ from mojo_opset_tpu.core.operators.sampling import (
 )
 
 
+def _recall_for(top_k: int, recall_default: float = 0.95) -> float:
+    """Recall target for ``approx_max_k``: 0.95 for head-sized k, 0.90
+    once the candidate table explodes.
+
+    Measured on v5e at (120, 151936) k=1000 (tools/exp_topp3.py): the
+    PartialReduce emits L=38016 candidates at recall 0.95 but L=9600 at
+    0.90, and the sorted aggregation — the dominant cost, XLA's bitonic
+    sort network — scales with L: 4312 us vs 1038 us end-to-end (the
+    910B reference kernel: 828-987 us).  The ~10% of the true top-k the
+    lower recall can miss are the bin-non-max stragglers at the tail of
+    the distribution — the tokens nucleus filtering cuts anyway.
+    Exhausted alternatives, all slower: exact ``top_k`` 23 ms; variadic /
+    single-key-packed sort of the 38016 candidates 4.3-6.2 ms; bisected
+    k-th threshold is fast (144 us) but ordered compaction needs a (B, L)
+    scatter, 42 ms on TPU (no fast scatter path).
+    """
+    return recall_default if top_k <= 256 else 0.90
+
+
 class XlaTopPFilter(MojoTopPFilter):
     """Nucleus filter over the hardware-binned approximate top-k heads.
 
@@ -36,7 +55,8 @@ class XlaTopPFilter(MojoTopPFilter):
     ``aggregate_to_topk=True`` returns the same sorted candidate heads in
     the serving-standard approximate way (recall 0.95 of the true set —
     the tail it can miss carries the least mass, exactly the tokens
-    nucleus filtering is about to cut).  Same trade as XlaTopKSampling.
+    nucleus filtering is about to cut; 0.90 for k > 256, see
+    ``_recall_for``).  Same trade as XlaTopKSampling.
     """
 
     recall_target: float = 0.95
@@ -48,7 +68,8 @@ class XlaTopPFilter(MojoTopPFilter):
         lf = logits.astype(jnp.float32)
         top_k = min(rand_top_k, lf.shape[-1])
         topk_logits, topk_indices = jax.lax.approx_max_k(
-            lf, top_k, recall_target=self.recall_target, aggregate_to_topk=True
+            lf, top_k, recall_target=_recall_for(top_k, self.recall_target),
+            aggregate_to_topk=True
         )
         probs = _nucleus_from_topk(
             topk_logits, top_p, min_tokens_to_keep, self.filter_value
@@ -65,7 +86,8 @@ class XlaTopKSampling(MojoTopKSampling):
         logits = logits.astype(jnp.float32)
         top_k = max(min(self.top_k, logits.shape[-1]), self.min_tokens_to_keep)
         topk_logits, topk_indices = jax.lax.approx_max_k(
-            logits, top_k, recall_target=self.recall_target, aggregate_to_topk=True
+            logits, top_k, recall_target=_recall_for(top_k, self.recall_target),
+            aggregate_to_topk=True
         )
         probs = jax.nn.softmax(topk_logits, axis=-1)
         select = _sample_from_probs(probs, key)

@@ -283,10 +283,16 @@ class WanModel(Module):
             tokens.append(tok)
             grids.append(grid)
         grid_sizes = np.asarray(grids)
-        seq_lens = jnp.asarray([tok.shape[1] for tok in tokens], jnp.int32)
-        # static-shape check (token counts come from shapes, so this stays
-        # a Python assert and the whole forward remains jittable)
-        assert max(tok.shape[1] for tok in tokens) <= seq_len
+        # token counts come from SHAPES, so they are static: when every
+        # clip fills seq_len exactly (the standard single-geometry batch)
+        # the key-padding mask is all-True — pass None instead, which keeps
+        # MojoSdpa on the mask-free Pallas flash path (the golden fallback
+        # materializes (B, H, L, L) f32 scores; measured 30% -> see
+        # docs/kernels.md DiT section)
+        lens_static = [tok.shape[1] for tok in tokens]
+        assert max(lens_static) <= seq_len
+        seq_lens = (None if all(n == seq_len for n in lens_static)
+                    else jnp.asarray(lens_static, jnp.int32))
         xcat = jnp.concatenate(
             [jnp.pad(tok, ((0, 0), (0, seq_len - tok.shape[1]), (0, 0))) for tok in tokens]
         )

@@ -318,3 +318,28 @@ def test_pallas_apply_rope_partial_and_unaligned_fall_back():
     got = pal(q, k, cos, sin, head_first=False)
     want = ref(q, k, cos, sin, head_first=False)
     np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]), atol=1e-6)
+
+
+@pytest.mark.skipif(os.environ.get("MOJO_TEST_TPU", "0") != "1",
+                    reason="in-tree flash Sdpa has no interpret path")
+@pytest.mark.parametrize("L,mask_kind", [
+    (1560, None),          # DiT (1,60,104) latent: tile-unaligned, maskless
+    (1560, "key_pad"),     # key-padding mask rides segment ids
+    (512, "key_pad"),
+])
+def test_pallas_sdpa_unaligned_and_key_padding(L, mask_kind):
+    # On-chip only: the padded+segment-id flash path must match the golden
+    # for the DiT geometry (modeling_wan.py self/cross attention)
+    B, H, D = 1, 4, 128
+    q = randn(0, (B, H, L, D), jnp.bfloat16)
+    k = randn(1, (B, H, L, D), jnp.bfloat16)
+    v = randn(2, (B, H, L, D), jnp.bfloat16)
+    mask = None
+    if mask_kind == "key_pad":
+        valid = jnp.arange(L) < (L - 77)
+        mask = valid[None, None, None, :]
+    op_p = m.MojoSdpa.get_backend_impl("pallas", strict=True)()
+    op_r = m.MojoSdpa.get_backend_impl("ref")()
+    got = np.asarray(op_p(q, k, v, attn_mask=mask), np.float32)
+    want = np.asarray(op_r(q, k, v, attn_mask=mask), np.float32)
+    np.testing.assert_allclose(got, want, atol=3e-2, rtol=3e-2)

@@ -30,12 +30,17 @@ def run_lane(name: str, extra: list) -> dict:
         capture_output=True, text=True, cwd=REPO,
     )
     wall = time.time() - t0
-    tail = (proc.stdout.strip().splitlines() or [""])[-1]
-    m = re.search(r"(\d+) passed", tail)
+    lines = proc.stdout.strip().splitlines() or [""]
+    summary = next(
+        (ln for ln in reversed(lines)
+         if re.search(r"\d+ (passed|failed|error|deselected|skipped)", ln)),
+        lines[-1],
+    ).strip()
+    m = re.search(r"(\d+) passed", summary)
     passed = int(m.group(1)) if m else 0
-    failed = bool(re.search(r"(\d+) (failed|error)", tail))
+    failed = bool(re.search(r"(\d+) (failed|error)", summary))
     return dict(name=name, ok=proc.returncode == 0 and not failed,
-                passed=passed, wall_s=round(wall, 1), summary=tail)
+                passed=passed, wall_s=round(wall, 1), summary=summary)
 
 
 def main():
