@@ -69,18 +69,28 @@ def _rotate(x):
     return jnp.concatenate([-x[..., h:], x[..., :h]], axis=-1)
 
 
+def _half_slice(x, c, s, out_dtype):
+    """rotate-half as two half-lane FMAs + one concat — measured 3-8%
+    faster than materializing rot(x) (tools/exp_rope.py, half=1 rows)."""
+    h = x.shape[-1] // 2
+    xl, xh = x[..., :h], x[..., h:]
+    lo = xl * c[..., :h] - xh * s[..., :h]
+    hi = xh * c[..., h:] + xl * s[..., h:]
+    return jnp.concatenate([lo, hi], axis=-1).astype(out_dtype)
+
+
 def _head_first_kernel(x_ref, c_ref, s_ref, o_ref):
     x = x_ref[...].astype(jnp.float32)
     c = c_ref[...].astype(jnp.float32)[None, None]
     s = s_ref[...].astype(jnp.float32)[None, None]
-    o_ref[...] = (x * c + _rotate(x) * s).astype(o_ref.dtype)
+    o_ref[...] = _half_slice(x, c, s, o_ref.dtype)
 
 
 def _token_first_kernel(x_ref, c_ref, s_ref, o_ref):
     x = x_ref[...].astype(jnp.float32)
     c = c_ref[...].astype(jnp.float32)[:, None, :]
     s = s_ref[...].astype(jnp.float32)[:, None, :]
-    o_ref[...] = (x * c + _rotate(x) * s).astype(o_ref.dtype)
+    o_ref[...] = _half_slice(x, c, s, o_ref.dtype)
 
 
 @mosaic_f16_compat
