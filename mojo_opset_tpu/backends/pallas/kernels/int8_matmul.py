@@ -59,7 +59,7 @@ def int8_scaled_matmul(
     out_dtype=jnp.bfloat16,
     bm: int = 512,
     bn: int = 512,
-    bk: int = 1024,
+    bk: int = 4096,
     trans_weight: bool = False,
     interpret: bool = False,
 ) -> jax.Array:

@@ -103,8 +103,16 @@ class PallasQuantGemm(MojoQuantGemm):
         bm = 512 if M % 512 == 0 else (256 if M % 256 == 0 else
                                        next(b for b in (128, 64, 32, 16, 8) if M % b == 0))
         bn = 512 if N % 512 == 0 else (256 if N % 256 == 0 else 128)
-        bk = 1024 if K % 1024 == 0 else (512 if K % 512 == 0 else
-                                         (256 if K % 256 == 0 else 128))
+        # deepest K chunk that divides K within the VMEM budget: bk=4096
+        # measured 299-319 TFLOP/s vs 249-276 at bk<=1024 (the 2026-08-21
+        # tile sweep, tools/tune_quant_gemm.py) — fewer accumulator
+        # round-trips and MB-scale weight DMAs
+        budget = 10 * 2**20
+        bk = next(
+            (b for b in (4096, 2048, 1024, 512, 256, 128)
+             if K % b == 0 and (bm + bn) * b + 4 * bm * bn <= budget),
+            128,
+        )
         return int8_scaled_matmul(
             input.astype(jnp.int8), self.weight,
             input_scale.reshape(-1), self.weight_scale,

@@ -57,9 +57,12 @@ def main():
     want = xla_control(x[:512], w[:, :512], xs[:512], ws[:512])
     got = int8_scaled_matmul(x[:512], w[:, :512], xs[:512], ws[:512],
                              bm=256, bn=256, bk=512)
-    derr = float(jnp.abs(got.astype(jnp.float32) - want.astype(jnp.float32)).max())
-    print(f"pallas-vs-xla max err: {derr:.5f}")
-    assert derr < 1.0
+    gf, wf = got.astype(jnp.float32), want.astype(jnp.float32)
+    rerr = float((jnp.abs(gf - wf) / jnp.maximum(jnp.abs(wf), 1.0)).max())
+    print(f"pallas-vs-xla max rel err: {rerr:.5f}")
+    # both sides round a large-magnitude f32 product to bf16; scale-mul
+    # association differs, so allow ~1 bf16 ULP of relative difference
+    assert rerr < 2e-2, rerr
 
     flops = 2 * M * K * N
     us = device_time_us(xla_control, x, w, xs, ws, iters=16)
