@@ -116,88 +116,66 @@ class PallasPagedPrefillGQA(MojoPagedPrefillGQA):
 
 
 class PallasSdpa(MojoSdpa):
-    """SDPA on the in-tree Mosaic flash kernel with tuned block sizes
-    (8.7x the reference TTXSdpa baseline at the 4096-token shape).
+    """SDPA on Mosaic flash kernels.
 
-    Tile-unaligned sequence lengths are zero-padded to the 128 grid and
-    masked via flash segment ids (pad rows/keys get segment 0, real
-    tokens segment 1) — this is what keeps the Wan DiT backbone
-    (L = 1560 at the (1,60,104) latent) on the flash path instead of the
-    golden's (B, H, L, L) f32 score materialization.  Boolean KEY-PADDING
-    masks of shape (..., 1, 1|Lq, Lkv) ride the same segment-id path;
-    arbitrary additive or per-query masks fall back to the golden."""
-
-    @staticmethod
-    def _as_key_padding(attn_mask, Bq, Lkv):
-        """(B, Lkv) bool key-validity, or None if the mask is not a pure
-        key-padding mask (boolean, constant over heads and query rows:
-        shape (Lkv,), (1|B, 1, 1, Lkv) or any all-1 leading dims)."""
-        if attn_mask is None or attn_mask.dtype != jnp.bool_:
-            return None
-        sh = attn_mask.shape
-        if not sh or sh[-1] != Lkv:
-            return None
-        lead = sh[:-1]
-        # every leading dim except (optionally) the batch dim must be 1
-        batch_ok = all(d == 1 for d in lead) or (
-            lead and lead[0] in (1, Bq) and all(d == 1 for d in lead[1:])
-        )
-        if not batch_ok:
-            return None
-        flat = attn_mask.reshape((-1, Lkv))
-        return flat if flat.shape[0] == Bq else jnp.broadcast_to(
-            flat[:1], (Bq, Lkv))
+    Aligned maskless shapes ride the in-tree flash kernel with tuned
+    block sizes (8.7x the reference TTXSdpa baseline at the 4096-token
+    shape).  Tile-UNALIGNED maskless shapes — e.g. the Wan DiT backbone,
+    L = 1560 at the (1,60,104) latent — route through the in-tree
+    varlen flash trio (kernels/flash_vjp.py) as B equal-length
+    non-causal sequences: its per-tile cu_lens masks handle the padding
+    the in-tree kernel cannot (its segment-id path fails to legalize on
+    this toolchain — 'Bad lhs type' tpu.matmul, tools history
+    2026-08-21).  Masked calls stay on the golden."""
 
     def forward(self, query, key, value, attn_mask=None):
         Lq, Lkv = query.shape[-2], key.shape[-2]
-        key_pad = self._as_key_padding(attn_mask, query.shape[0], Lkv) \
-            if query.ndim == 4 else None
+        D = query.shape[-1]
         if (
-            (attn_mask is not None and key_pad is None)
+            attn_mask is not None
             or pallas_interpret_mode()
             or query.ndim != 4
-            or query.shape[-1] % 128 != 0
+            or D % 128 != 0
             or min(Lq, Lkv) < 16
+            or query.dtype not in (jnp.float32, jnp.bfloat16)
+            or key.dtype != query.dtype
+            or value.dtype != query.dtype
         ):
             return MojoSdpa.forward(self, query, key, value, attn_mask)
-        from jax.experimental.pallas.ops.tpu.flash_attention import (
-            SegmentIds,
-            flash_attention,
-        )
-
+        scale = self.scale if self.scale is not None else 1.0 / math.sqrt(D)
         k, v = key, value
-        if self.enable_gqa and query.shape[-3] != key.shape[-3]:
-            group = query.shape[-3] // key.shape[-3]
-            k = jnp.repeat(k, group, axis=-3)
-            v = jnp.repeat(v, group, axis=-3)
-        scale = self.scale if self.scale is not None else 1.0 / math.sqrt(query.shape[-1])
+        group_ok = query.shape[1] == k.shape[1] or (
+            self.enable_gqa and query.shape[1] % k.shape[1] == 0
+        )
+        blocks = _flash_blocks(Lq, Lkv)
+        if blocks is not None:
+            if self.enable_gqa and query.shape[-3] != k.shape[-3]:
+                g = query.shape[-3] // k.shape[-3]
+                k = jnp.repeat(k, g, axis=-3)
+                v = jnp.repeat(v, g, axis=-3)
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                flash_attention,
+            )
 
-        q = query
-        Lqp = -(-Lq // 128) * 128
-        Lkp = -(-Lkv // 128) * 128
-        Bn = q.shape[0]
-        seg = None
-        if Lqp != Lq or Lkp != Lkv or key_pad is not None:
-            if Lqp != Lq:
-                q = jnp.pad(q, ((0, 0), (0, 0), (0, Lqp - Lq), (0, 0)))
-            if Lkp != Lkv:
-                k = jnp.pad(k, ((0, 0), (0, 0), (0, Lkp - Lkv), (0, 0)))
-                v = jnp.pad(v, ((0, 0), (0, 0), (0, Lkp - Lkv), (0, 0)))
-            q_ids = jnp.broadcast_to(
-                (jnp.arange(Lqp) < Lq).astype(jnp.int32)[None], (Bn, Lqp))
-            kv_valid = (jnp.arange(Lkp) < Lkv)[None]
-            if key_pad is not None:
-                kv_valid = kv_valid & jnp.pad(key_pad, ((0, 0), (0, Lkp - Lkv)))
-            kv_ids = jnp.broadcast_to(kv_valid.astype(jnp.int32), (Bn, Lkp))
-            seg = SegmentIds(q=q_ids, kv=kv_ids)
-        blocks = _flash_blocks(Lqp, Lkp)
-        if blocks is None:
+            return flash_attention(
+                query, k, v, causal=False, sm_scale=scale,
+                block_sizes=blocks,
+            ).astype(query.dtype)
+        B = query.shape[0]
+        if not group_ok or B > 32 or k.shape[-1] != D:
             return MojoSdpa.forward(self, query, key, value, attn_mask)
-        out = flash_attention(
-            q, k, v, segment_ids=seg, causal=False, sm_scale=scale,
-            block_sizes=blocks,
-        ).astype(query.dtype)
-        return out[:, :, :Lq] if Lqp != Lq else out
+        from mojo_opset_tpu.backends.pallas.kernels.flash_vjp import flash_swa
+
+        def pack(x):  # (B, H, L, Dh) -> (B*L, H, Dh)
+            return jnp.swapaxes(x, 1, 2).reshape(-1, x.shape[1], D)
+
+        cu_q = jnp.arange(B + 1, dtype=jnp.int32) * Lq
+        cu_k = jnp.arange(B + 1, dtype=jnp.int32) * Lkv
+        out = flash_swa(
+            pack(query), pack(k), pack(v), cu_q, cu_k,
+            False, None, None, scale, False,
+        )
+        return jnp.swapaxes(out.reshape(B, Lq, -1, D), 1, 2)
 
 
 class PallasPrefillGQA(MojoPrefillGQA):

@@ -67,8 +67,11 @@ def test_diffusion_attention_vjp_matches_golden(B, Hq, Hkv, S, D, kind, dtype):
 
     y_p, g_p = run("pallas")
     y_r, g_r = run("ref")
+    # on real hardware the MXU's f32 dots round through bf16 passes;
+    # interpret mode is bit-exact f32
+    f32_tol = 2e-5 if INTERPRET else 5e-4
     tol = (dict(atol=3e-2, rtol=3e-2) if dtype != jnp.float32
-           else dict(atol=2e-5, rtol=2e-5))
+           else dict(atol=f32_tol, rtol=f32_tol))
     # Fully-masked rows: the golden inherits torch-SDPA semantics (softmax
     # over -inf -> NaN, NaN grads); the flash tier defines them as o = 0
     # with zero grads — the useful semantic for block-diffusion training.
