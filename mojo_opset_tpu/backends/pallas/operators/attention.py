@@ -171,9 +171,13 @@ class PallasSdpa(MojoSdpa):
 
         cu_q = jnp.arange(B + 1, dtype=jnp.int32) * Lq
         cu_k = jnp.arange(B + 1, dtype=jnp.int32) * Lkv
+        # big tiles: the per-grid-step overhead dominates at 256x256
+        # (983 -> 361 us at the DiT's L=1560 — tools/exp history 2026-08-21)
+        bq = 512 if Lq >= 512 else 256
+        bk = 1024 if Lkv >= 1024 else (512 if Lkv >= 512 else 256)
         out = flash_swa(
             pack(query), pack(k), pack(v), cu_q, cu_k,
-            False, None, None, scale, False,
+            False, None, None, scale, False, bq, bk,
         )
         return jnp.swapaxes(out.reshape(B, Lq, -1, D), 1, 2)
 

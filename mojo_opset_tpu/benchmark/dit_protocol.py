@@ -115,9 +115,13 @@ class PerfDiTRunner:
 
 
 def run_dit_perf(dim: int = 2048, layers: int = 32, sizes=None, steps: int = 4,
-                 seed: int = 0) -> List[dict]:
+                 seed: int = 0, dtype=jnp.bfloat16) -> List[dict]:
     """Build a randomly-initialised Wan DiT at the given width and run the
-    protocol (checkpoint weights do not change the timing)."""
+    protocol (checkpoint weights do not change the timing).
+
+    ``dtype`` casts the backbone parameters (serving runs the DiT in
+    bf16 — halves the weight/activation stream and doubles the MXU
+    rate; latents stay f32 at the boundary)."""
     from mojo_opset_tpu.modeling.wan2_2 import WanConfig, WanModel
 
     cfg = WanConfig(
@@ -126,6 +130,13 @@ def run_dit_perf(dim: int = 2048, layers: int = 32, sizes=None, steps: int = 4,
         num_heads=max(dim // 128, 1), num_layers=layers,
     )
     model = WanModel(cfg, key=jax.random.PRNGKey(seed))
+    if dtype is not None and dtype != jnp.float32:
+        model = jax.tree_util.tree_map(
+            lambda a: a.astype(dtype)
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+            else a,
+            model,
+        )
     return PerfDiTRunner(model).run(sizes=sizes, steps=steps)
 
 

@@ -227,17 +227,23 @@ class WanModel(Module):
 
     # -- helpers --------------------------------------------------------
     def _patch_embed(self, u: jax.Array) -> jax.Array:
-        """u (C_in, F, H, W) -> (1, L, dim) patch tokens + grid size."""
+        """u (C_in, F, H, W) -> (1, L, dim) patch tokens + grid size.
+
+        Tokens come out in the PARAMETER dtype: casting the backbone to
+        bf16 (jax.tree_util.tree_map astype — the serving precision, see
+        benchmark/dit_protocol.py) makes the whole transformer run bf16
+        while latents stay f32 at the model boundary."""
+        wdt = self.patch_weight.dtype
         out = jax.lax.conv_general_dilated(
             u[None].astype(jnp.float32),
-            self.patch_weight,
+            self.patch_weight.astype(jnp.float32),
             window_strides=self.cfg.patch_size,
             padding="VALID",
             dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
-        ) + self.patch_bias[None, :, None, None, None]
+        ) + self.patch_bias.astype(jnp.float32)[None, :, None, None, None]
         grid = out.shape[2:]
         tokens = out.reshape(1, self.cfg.dim, -1).transpose(0, 2, 1)
-        return tokens, grid
+        return tokens.astype(wdt), grid
 
     def calculate_freqs(self, grid_sizes, seq_len: int) -> List[jax.Array]:
         c = (self.cfg.dim // self.cfg.num_heads) // 2
@@ -297,18 +303,24 @@ class WanModel(Module):
             [jnp.pad(tok, ((0, 0), (0, seq_len - tok.shape[1]), (0, 0))) for tok in tokens]
         )
 
-        # time embeddings (per-token timestep support)
-        if t.ndim == 1:
-            t = jnp.broadcast_to(t[:, None], (t.shape[0], seq_len))
+        # time embeddings (per-token timestep support). Uniform t — the
+        # standard denoise step — runs the two timestep MLPs at ONE
+        # position per batch row and lets (B, 1, ...) broadcasting do the
+        # rest: identical values, seq_len x fewer MLP FLOPs (~39 GFLOP at
+        # the (1,60,104) latent, measured in the step profile).
         bt = t.shape[0]
-        emb = sinusoidal_embedding_1d(cfg.freq_dim, t.reshape(-1)).reshape(bt, seq_len, -1)
+        tl = 1 if t.ndim == 1 else seq_len
+        if t.ndim == 1:
+            t = t[:, None]
+        emb = sinusoidal_embedding_1d(cfg.freq_dim, t.reshape(-1)).reshape(bt, tl, -1)
+        emb = emb.astype(self.patch_weight.dtype)
         e = self.time_out(self.time_act(self.time_in(emb)))
-        e0 = self.time_proj(self.time_act(e)).reshape(bt, seq_len, 6, cfg.dim)
+        e0 = self.time_proj(self.time_act(e)).reshape(bt, tl, 6, cfg.dim)
 
         # context
         ctx = jnp.stack(
             [jnp.pad(u, ((0, cfg.text_len - u.shape[0]), (0, 0))) for u in context]
-        )
+        ).astype(self.patch_weight.dtype)
         ctx = self.text_out(self.text_act(self.text_in(ctx)))
 
         freqs_list = self.calculate_freqs(grid_sizes, seq_len)

@@ -45,12 +45,12 @@ def main():
     model, x, ctx, seq_len = build()
     dt = jnp.float32(-0.05)
 
-    def step(model, x):
+    def step(x, model):
         t = jnp.ones((1,), jnp.float32) * 999.0
         v = model([x], t, [ctx], seq_len=seq_len)[0]
         return x + v.astype(x.dtype) * dt
 
-    us = device_time_us(jax.jit(step), model, x, iters=2)
+    us = device_time_us(jax.jit(step), x, model, iters=2)
     print(f"denoise step: {us/1000:.2f} ms", flush=True)
 
     # profiler spans
@@ -61,12 +61,12 @@ def main():
     import tempfile
 
     f = jax.jit(step)
-    f(model, x).block_until_ready()
+    f(x, model).block_until_ready()
     tmp = tempfile.mkdtemp(prefix="dit_prof_")
     try:
         with jax.profiler.trace(tmp):
             for _ in range(3):
-                f(model, x).block_until_ready()
+                f(x, model).block_until_ready()
         traces = glob.glob(tmp + "/**/*.trace.json.gz", recursive=True)
         events = []
         for p in traces:
