@@ -77,53 +77,3 @@ def mosaic_f16_compat(fn):
     return wrapper
 
 
-def mosaic_f16_bitcast(fn):
-    """f16 support for PURE DATA-MOVEMENT kernels: bitcast f16 -> uint16.
-
-    ``mosaic_f16_compat``'s fp32 upcast is right for compute kernels but
-    catastrophic for in-place cache stores — upcasting the cache argument
-    copies the whole cache twice.  A kernel that only selects/copies bits
-    (``jnp.where`` merges, DMA copies — e.g. store_kv) is dtype-agnostic:
-    bitcast every f16 array to uint16 (free — same width, Mosaic-native
-    i16 vectors), run the kernel, and bitcast f16-typed outputs back.
-
-    Only kernels with NO arithmetic on the data may use this wrapper.
-
-    The bitcast path is taken only when EVERY floating array leaf is f16.
-    Mixed calls (e.g. f16 states into a bf16/f32 cache, which the golden
-    handles via ``states.astype(cache.dtype)``) must NOT be bitcast: the
-    cache would be lossily squeezed through f16 and the returned cache
-    would keep dtype uint16.  Those calls fall back to the fp32-upcast
-    compat path, which preserves every non-f16 dtype exactly.
-    """
-
-    compat_fn = mosaic_f16_compat(fn)
-
-    @functools.wraps(fn)
-    def wrapper(*args, **kwargs):
-        leaves = [v for v in jax.tree_util.tree_leaves(list(args) + list(kwargs.values())) if _is_array(v)]
-        float_leaves = [v for v in leaves if jnp.issubdtype(jnp.dtype(v.dtype), jnp.floating)]
-        if not any(_has_f16(v) for v in float_leaves):
-            return fn(*args, **kwargs)
-        if not all(_has_f16(v) for v in float_leaves):
-            # mixed f16 / non-f16 floats: the zero-copy bitcast is unsafe
-            return compat_fn(*args, **kwargs)
-
-        def cast(x):
-            if _is_array(x) and jnp.issubdtype(jnp.dtype(x.dtype), jnp.floating):
-                return jax.lax.bitcast_convert_type(x, jnp.uint16)
-            return x
-
-        new_args = [cast(a) for a in args]
-        new_kwargs = {k: cast(v) for k, v in kwargs.items()}
-        want = jax.eval_shape(lambda: fn(*args, **kwargs))
-        out = fn(*new_args, **new_kwargs)
-        return jax.tree_util.tree_map(
-            lambda o, w: jax.lax.bitcast_convert_type(o, w.dtype)
-            if (o.dtype == jnp.uint16 and w.dtype == _F16)
-            else o,
-            out,
-            want,
-        )
-
-    return wrapper

@@ -67,6 +67,11 @@ def int8_scaled_matmul(
     M, K = x.shape
     N = w.shape[0] if trans_weight else w.shape[1]
     bm, bn, bk = min(bm, M), min(bn, N), min(bk, K)
+    if K % bk:
+        # deepest dividing K chunk at or under the requested bk, so direct
+        # callers with e.g. K=5120/6144 tile instead of raising
+        bk = next((b for b in (4096, 2048, 1024, 512, 256, 128)
+                   if b <= bk and K % b == 0), bk)
     if M % bm or N % bn or K % bk or bm % 8 or bn % 128 or bk % 128:
         raise ValueError(f"unsupported int8 gemm geometry M={M} K={K} N={N} "
                          f"bm={bm} bn={bn} bk={bk}")

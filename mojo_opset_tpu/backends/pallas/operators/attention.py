@@ -140,6 +140,11 @@ class PallasSdpa(MojoSdpa):
             or query.dtype not in (jnp.float32, jnp.bfloat16)
             or key.dtype != query.dtype
             or value.dtype != query.dtype
+            # flash kernels require a uniform head_dim; the golden MojoSdpa
+            # allows value head-dim != query head-dim, so gate on the full
+            # k/v shape before any kernel-side reshape can corrupt data
+            or key.shape[-1] != D
+            or value.shape != key.shape
         ):
             return MojoSdpa.forward(self, query, key, value, attn_mask)
         scale = self.scale if self.scale is not None else 1.0 / math.sqrt(D)
@@ -162,7 +167,7 @@ class PallasSdpa(MojoSdpa):
                 block_sizes=blocks,
             ).astype(query.dtype)
         B = query.shape[0]
-        if not group_ok or B > 32 or k.shape[-1] != D:
+        if not group_ok or B > 32:
             return MojoSdpa.forward(self, query, key, value, attn_mask)
         from mojo_opset_tpu.backends.pallas.kernels.flash_vjp import flash_swa
 

@@ -100,9 +100,15 @@ class PallasQuantGemm(MojoQuantGemm):
             return out[:M] if pad else out
         if M % 8 or K % 128 or N % 128 or M < 64:
             return super().forward(input, input_scale)
-        bm = 512 if M % 512 == 0 else (256 if M % 256 == 0 else
-                                       next(b for b in (128, 64, 32, 16, 8) if M % b == 0))
-        bn = 512 if N % 512 == 0 else (256 if N % 256 == 0 else 128)
+        # (1024, 256) is the measured best large-M tile (427 µs vs 439 at
+        # (512, 512) for 4096³ — r5 re-sweep); fall through to narrower
+        # tiles when M/N don't divide
+        if M % 1024 == 0 and N % 256 == 0:
+            bm, bn = 1024, 256
+        else:
+            bm = 512 if M % 512 == 0 else (256 if M % 256 == 0 else
+                                           next(b for b in (128, 64, 32, 16, 8) if M % b == 0))
+            bn = 512 if N % 512 == 0 else (256 if N % 256 == 0 else 128)
         # deepest K chunk that divides K within the VMEM budget: bk=4096
         # measured 299-319 TFLOP/s vs 249-276 at bk<=1024 (the 2026-08-21
         # tile sweep, tools/tune_quant_gemm.py) — fewer accumulator

@@ -171,19 +171,15 @@ class XlaStorePagedKVCache(MojoStorePagedKVCache):
         # published decode rows: merge 62 us -> scatter 24-31 us.
         small = cu_q_lens is None or 7 * T < 4 * bs * B
         if chunk_metadata is not None or small:
-            if chunk_metadata is None and key_cache.dtype == jnp.float16:
-                # f16 rides the scatter as uint16 bits: a native f16 row
-                # scatter makes XLA:TPU convert the WHOLE cache per call
-                # (tools/exp_f16_store.py); uint16 moves rows natively
-                u16 = lambda x: jax.lax.bitcast_convert_type(  # noqa: E731
-                    x.astype(jnp.float16), jnp.uint16)
-                kc, vc = super().forward(
-                    u16(key_states), u16(value_states),
-                    u16(key_cache), u16(value_cache),
-                    block_table, cu_q_lens, context_kv_lens,
-                )
-                back = lambda x: jax.lax.bitcast_convert_type(x, jnp.float16)  # noqa: E731
-                return back(kc), back(vc)
+            # NOTE an r4 u16-bitcast special case for f16 was removed here:
+            # on the 2026-08-19 toolchain a native f16 row scatter converted
+            # the whole cache per call (tools/exp_f16_store.py), so f16 rode
+            # the scatter as uint16 bits.  Re-measured 2026-08-21 after a
+            # toolchain update: the native f16 scatter is in-place and
+            # ~free inside jitted loops (<1 µs marginal at the published
+            # (16,·,32,128) decode row), while the bitcast pair now BREAKS
+            # XLA's in-place buffer aliasing (~800 µs/iter full-cache
+            # copies, tools/exp history r5).
             return super().forward(
                 key_states, value_states, key_cache, value_cache,
                 block_table, cu_q_lens, context_kv_lens,

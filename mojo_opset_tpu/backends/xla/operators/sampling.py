@@ -28,9 +28,15 @@ from mojo_opset_tpu.core.operators.sampling import (
 )
 
 
-def _recall_for(top_k: int, recall_default: float = 0.95) -> float:
-    """Recall target for ``approx_max_k``: 0.95 for head-sized k, 0.90
-    once the candidate table explodes.
+_DEFAULT_RECALL = 0.95
+
+
+def _recall_for(top_k: int, recall_target: float = _DEFAULT_RECALL,
+                large_k_recall: float = 0.90) -> float:
+    """Recall target for ``approx_max_k``: ``recall_target`` for
+    head-sized k, ``large_k_recall`` once the candidate table explodes —
+    but ONLY when the caller left ``recall_target`` at the class default
+    (a user who explicitly configured e.g. 0.99 keeps 0.99 at every k).
 
     Measured on v5e at (120, 151936) k=1000 (tools/exp_topp3.py): the
     PartialReduce emits L=38016 candidates at recall 0.95 but L=9600 at
@@ -44,7 +50,9 @@ def _recall_for(top_k: int, recall_default: float = 0.95) -> float:
     k-th threshold is fast (144 us) but ordered compaction needs a (B, L)
     scatter, 42 ms on TPU (no fast scatter path).
     """
-    return recall_default if top_k <= 256 else 0.90
+    if top_k <= 256 or recall_target != _DEFAULT_RECALL:
+        return recall_target
+    return large_k_recall
 
 
 class XlaTopPFilter(MojoTopPFilter):
@@ -59,7 +67,8 @@ class XlaTopPFilter(MojoTopPFilter):
     ``_recall_for``).  Same trade as XlaTopKSampling.
     """
 
-    recall_target: float = 0.95
+    recall_target: float = _DEFAULT_RECALL
+    large_k_recall: float = 0.90
 
     def forward(
         self, logits: jax.Array, top_p: float, min_tokens_to_keep: int, rand_top_k: int
@@ -68,7 +77,8 @@ class XlaTopPFilter(MojoTopPFilter):
         lf = logits.astype(jnp.float32)
         top_k = min(rand_top_k, lf.shape[-1])
         topk_logits, topk_indices = jax.lax.approx_max_k(
-            lf, top_k, recall_target=_recall_for(top_k, self.recall_target),
+            lf, top_k,
+            recall_target=_recall_for(top_k, self.recall_target, self.large_k_recall),
             aggregate_to_topk=True
         )
         probs = _nucleus_from_topk(
@@ -78,7 +88,8 @@ class XlaTopPFilter(MojoTopPFilter):
 
 
 class XlaTopKSampling(MojoTopKSampling):
-    recall_target: float = 0.95
+    recall_target: float = _DEFAULT_RECALL
+    large_k_recall: float = 0.90
 
     def forward(self, logits: jax.Array, key: Optional[jax.Array] = None) -> Tuple[jax.Array, jax.Array]:
         if key is None:
@@ -86,7 +97,8 @@ class XlaTopKSampling(MojoTopKSampling):
         logits = logits.astype(jnp.float32)
         top_k = max(min(self.top_k, logits.shape[-1]), self.min_tokens_to_keep)
         topk_logits, topk_indices = jax.lax.approx_max_k(
-            logits, top_k, recall_target=_recall_for(top_k, self.recall_target),
+            logits, top_k,
+            recall_target=_recall_for(top_k, self.recall_target, self.large_k_recall),
             aggregate_to_topk=True
         )
         probs = jax.nn.softmax(topk_logits, axis=-1)

@@ -66,80 +66,100 @@ class GeneratorHook:
 
 
 class PerfHook(GeneratorHook):
-    """Device-synced prefill/decode latency & throughput records
-    (reference generation.py:34-90)."""
+    """Wall-clock phase timer for the generate loop.
+
+    Capability parity with the reference perf hook (reference
+    generation.py:34) but built around a named-mark design: each phase
+    boundary stamps ``perf_counter`` into ``_marks`` and the whole record
+    is derived once at ``after_decode``.  Because jax dispatch is async,
+    a boundary that closes device work first fences on the newest array
+    it has seen (scalar fetch via ``device_sync`` — ``block_until_ready``
+    is unreliable on the tunneled-TPU platform, see benchmark/timing.py).
+
+    ``records`` is the public output: one dict per generate() call with
+    keys batch_size / in_tok / prefill_ms / decode_steps /
+    decode_total_ms / decode_avg_ms / throughput (tok/s across the
+    batch) — the schema ``PerfMojoGenerator`` tabulates.
+    """
 
     def __init__(self, silent: bool = False):
-        self._silent = silent
-        self._prefill_start = 0.0
-        self._prefill_ms = 0.0
-        self._decode_start = 0.0
-        self._batch_size = 0
-        self._total_input_tokens = 0
-        self._last = None
         self.records: List[dict] = []
+        self._silent = silent
+        self._marks: dict = {}
+        self._batch = 0
+        self._in_tokens = 0
+        self._tail = None  # newest device array seen during decode
 
-    def _sync(self, x=None):
+    @staticmethod
+    def _fence(x) -> None:
         if x is not None:
             from mojo_opset_tpu.benchmark.timing import device_sync
 
             device_sync(x)
 
+    def _stamp(self, name: str) -> None:
+        self._marks[name] = time.perf_counter()
+
     def before_prefill(self, *, input_ids, context_input_len):
-        self._batch_size = int(np.asarray(context_input_len).shape[0])
-        self._total_input_tokens = int(np.asarray(context_input_len).sum())
-        self._prefill_start = time.perf_counter()
+        lens = np.asarray(context_input_len)
+        self._batch = int(lens.shape[0])
+        self._in_tokens = int(lens.sum())
+        self._stamp("prefill")
 
     def after_prefill(self, *, logits, session):
-        self._sync(logits)
-        self._prefill_ms = (time.perf_counter() - self._prefill_start) * 1000
+        self._fence(logits)
+        self._stamp("prefill_done")
 
     def before_decode(self):
-        self._decode_start = time.perf_counter()
+        self._stamp("decode")
 
     def after_decode_step(self, *, step, logits, next_token_id):
-        self._last = next_token_id
+        self._tail = next_token_id
 
     def after_decode(self, *, decode_steps, generated_ids):
-        if self._last is not None:
-            self._sync(self._last)
-        decode_total_ms = (time.perf_counter() - self._decode_start) * 1000
-        decode_avg_ms = decode_total_ms / decode_steps if decode_steps > 0 else 0
-        throughput = self._batch_size / (decode_avg_ms / 1000) if decode_avg_ms > 0 else 0
-        self.records.append(
-            {
-                "batch_size": self._batch_size,
-                "in_tok": self._total_input_tokens,
-                "prefill_ms": self._prefill_ms,
-                "decode_steps": decode_steps,
-                "decode_total_ms": decode_total_ms,
-                "decode_avg_ms": decode_avg_ms,
-                "throughput": throughput,
-            }
-        )
+        self._fence(self._tail)
+        self._stamp("decode_done")
+        m = self._marks
+        ms = lambda a, b: (m[b] - m[a]) * 1e3  # noqa: E731
+        per_step = ms("decode", "decode_done") / decode_steps if decode_steps else 0.0
+        rec = {
+            "batch_size": self._batch,
+            "in_tok": self._in_tokens,
+            "prefill_ms": ms("prefill", "prefill_done"),
+            "decode_steps": decode_steps,
+            "decode_total_ms": ms("decode", "decode_done"),
+            "decode_avg_ms": per_step,
+            "throughput": self._batch * 1e3 / per_step if per_step else 0.0,
+        }
+        self.records.append(rec)
         if not self._silent:
             logger.info(
-                "[Perf] bs=%d in_tok=%d | prefill=%.1fms | decode=%dsteps %.1fms "
-                "avg=%.1fms/step %.1ftok/s",
-                self._batch_size, self._total_input_tokens, self._prefill_ms,
-                decode_steps, decode_total_ms, decode_avg_ms, throughput,
+                "[Perf] bs=%(batch_size)d in_tok=%(in_tok)d | "
+                "prefill=%(prefill_ms).1fms | decode=%(decode_steps)dsteps "
+                "%(decode_total_ms).1fms avg=%(decode_avg_ms).1fms/step "
+                "%(throughput).1ftok/s",
+                rec,
             )
 
 
 class DumpHook(GeneratorHook):
-    """Dump logits per step to .npy files (reference generation.py:93-106)."""
+    """Persist per-step logits as .npy for offline diffing (capability
+    parity: reference generation.py:93)."""
 
     def __init__(self, dump_dir: str, max_decode_steps: int = 20):
-        self._dump_dir = Path(dump_dir)
-        self._dump_dir.mkdir(parents=True, exist_ok=True)
-        self._max_decode_steps = max_decode_steps
+        self._dir = Path(dump_dir)
+        self._dir.mkdir(parents=True, exist_ok=True)
+        self._budget = max_decode_steps
+
+    def _save(self, stem: str, arr) -> None:
+        np.save(self._dir / f"{stem}.npy", np.asarray(arr))
 
     def after_prefill(self, *, logits, session):
-        np.save(self._dump_dir / "prefill_logits.npy", np.asarray(logits))
+        self._save("prefill_logits", logits)
 
     def after_decode_step(self, *, step, logits, next_token_id):
-        if step <= self._max_decode_steps:
-            np.save(self._dump_dir / f"decode_step_{step:03d}_logits.npy", np.asarray(logits))
+        if step <= self._budget:
+            self._save(f"decode_step_{step:03d}_logits", logits)
 
 
 class _Typewriter:

@@ -384,10 +384,12 @@ def test_c8_store_xla_tier_matches_golden(seed, decode):
 @pytest.mark.parametrize("seed", seed_split(2, 3))
 @pytest.mark.parametrize("decode", [False, True])
 @pytest.mark.parametrize("kv_layout", ["HND", "NHD"])
-def test_f16_store_pallas_tier_bitcast_matches_golden(seed, decode, kv_layout):
-    """f16 caches at D=128 ride the Pallas store kernels via the uint16
-    bitcast path (mosaic_f16_bitcast): pure data movement, so equality
-    vs the golden scatter must be BIT-exact — no value ever converts."""
+def test_f16_store_accel_tier_matches_golden_bitexact(seed, decode, kv_layout):
+    """f16 caches through the accelerated store tier are pure data
+    movement (native f16 scatter / block merge — the r4 uint16-bitcast
+    detour was removed when the toolchain's native f16 row moves became
+    in-place, r5), so equality vs the golden scatter must be BIT-exact —
+    no value ever converts."""
     rng = np.random.default_rng(900 + seed)
     case = _random_case(rng, decode=decode)
     T = case["batch"] if decode else int(case["q_lens"].sum())
@@ -406,7 +408,7 @@ def test_f16_store_pallas_tier_bitcast_matches_golden(seed, decode, kv_layout):
     table, ctx = jnp.asarray(case["table"]), jnp.asarray(case["ctx"])
 
     ref = m.MojoStorePagedKVCache.get_backend_impl("ref")(kv_layout=kv_layout)
-    pls = m.MojoStorePagedKVCache.get_backend_impl("pallas", strict=True)(
+    pls = m.MojoStorePagedKVCache.get_backend_impl("xla", strict=True)(
         kv_layout=kv_layout)
     want = ref(k_new, v_new, k_cache, v_cache, table, cu, ctx)
     got = pls(k_new, v_new, k_cache, v_cache, table, cu, ctx)

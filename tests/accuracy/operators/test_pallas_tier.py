@@ -229,11 +229,12 @@ def test_pallas_paged_prefill_kv_dequant_matches_ref():
 
 
 @pytest.mark.parametrize("mode", ["prefill", "decode"])
-def test_pallas_store_mixed_f16_states_bf16_cache(mode):
-    """Regression: f16 states into a bf16 cache must NOT ride the uint16
-    bitcast path (the cache would be squeezed through f16 and come back
-    typed uint16) — mixed-float calls fall back to the upcast compat path
-    and the caches keep their dtype exactly."""
+def test_accel_store_mixed_f16_states_bf16_cache(mode):
+    """Regression: f16 states into a bf16 cache keep the cache dtype
+    exactly through the accelerated store tier (the r4 Pallas store tier
+    once squeezed the cache through a uint16 bitcast; the r5 tier is the
+    XLA scatter/merge, which must cast states to the cache dtype and
+    never touch the cache's own type)."""
     rng = np.random.default_rng(5)
     N, bs, Hkv, D = 8, 4, 2, 128
     kc = jnp.asarray(rng.standard_normal((N, bs, Hkv, D)), jnp.bfloat16)
@@ -251,7 +252,7 @@ def test_pallas_store_mixed_f16_states_bf16_cache(mode):
     bt = jnp.asarray([[0, 1, -1], [2, 3, -1]], jnp.int32)
     ks = jnp.asarray(rng.standard_normal((T, Hkv, D)), jnp.float16)
     vs = jnp.asarray(rng.standard_normal((T, Hkv, D)), jnp.float16)
-    op_p = m.MojoStorePagedKVCache.get_backend_impl("pallas", strict=True)(kv_layout="NHD")
+    op_p = m.MojoStorePagedKVCache.get_backend_impl("xla", strict=True)(kv_layout="NHD")
     op_r = m.MojoStorePagedKVCache.get_backend_impl("ref")(kv_layout="NHD")
     got_k, got_v = op_p(ks, vs, kc, vc, bt, cu_q, ctx_lens)
     want_k, want_v = op_r(ks, vs, kc, vc, bt, cu_q, ctx_lens)

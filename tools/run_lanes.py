@@ -18,29 +18,59 @@ import os
 import re
 import subprocess
 import sys
+import tempfile
 import time
+import xml.etree.ElementTree as ET
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_lane(name: str, extra: list) -> dict:
+    """Run one pytest lane; counts come from --junitxml (terminal-summary
+    regexes proved unreliable — r4 recorded 'GREEN / 0 passed')."""
     t0 = time.time()
-    proc = subprocess.run(
-        [sys.executable, "-m", "pytest", "tests/", "-q", *extra],
-        capture_output=True, text=True, cwd=REPO,
-    )
-    wall = time.time() - t0
-    lines = proc.stdout.strip().splitlines() or [""]
+    with tempfile.NamedTemporaryFile(suffix=".xml", delete=False) as tf:
+        junit = tf.name
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-m", "pytest", "tests/", "-q",
+             f"--junitxml={junit}", *extra],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        wall = time.time() - t0
+        passed = failures = errors = skipped = None
+        try:
+            root = ET.parse(junit).getroot()
+            suites = root.iter("testsuite")
+            failures = errors = skipped = total = 0
+            for s in suites:
+                total += int(s.get("tests", 0))
+                failures += int(s.get("failures", 0))
+                errors += int(s.get("errors", 0))
+                skipped += int(s.get("skipped", 0))
+            passed = total - failures - errors - skipped
+        except (ET.ParseError, OSError, ValueError):
+            pass
+    finally:
+        try:
+            os.unlink(junit)
+        except OSError:
+            pass
+    out = proc.stdout + "\n" + proc.stderr
     summary = next(
-        (ln for ln in reversed(lines)
-         if re.search(r"\d+ (passed|failed|error|deselected|skipped)", ln)),
-        lines[-1],
-    ).strip()
-    m = re.search(r"(\d+) passed", summary)
-    passed = int(m.group(1)) if m else 0
-    failed = bool(re.search(r"(\d+) (failed|error)", summary))
-    return dict(name=name, ok=proc.returncode == 0 and not failed,
-                passed=passed, wall_s=round(wall, 1), summary=summary)
+        (ln.strip() for ln in reversed(out.strip().splitlines())
+         if re.search(r"\d+ (passed|failed|error|deselected|skipped|warning)", ln)),
+        "(no pytest summary line captured)",
+    )
+    if passed is None:
+        # no junit report => we cannot prove anything about this lane
+        return dict(name=name, ok=False, passed="UNKNOWN",
+                    wall_s=round(wall, 1),
+                    summary=f"UNKNOWN (junitxml missing) | {summary}")
+    ok = proc.returncode == 0 and failures == 0 and errors == 0 and passed > 0
+    return dict(name=name, ok=ok, passed=passed, wall_s=round(wall, 1),
+                summary=f"{passed} passed, {skipped} skipped, "
+                        f"{failures} failed, {errors} errors | {summary}")
 
 
 def main():
