@@ -216,15 +216,20 @@ def bench_qwen3_e2e(rec: dict):
 
     chain_once()  # settle
     times = []
-    for _ in range(20):
+    for _ in range(24):
         t0 = time.perf_counter()
         chain_once()
         times.append((time.perf_counter() - t0) / K)
     times.sort()
     prefill_s = times[len(times) // 2]
     rec["qwen3_prefill512_ms"] = round(prefill_s * 1e3, 2)
-    rec["qwen3_prefill512_ms_spread"] = [
-        round(times[0] * 1e3, 2), round(times[-1] * 1e3, 2)]
+    # p10/p90 (VERDICT r4 #7): min/max amplified one-off tunnel stalls
+    # (a single stalled chain showed as a +67% "spread"); percentiles
+    # describe the distribution a serving operator actually sees
+    p10 = times[max(len(times) // 10, 0)]
+    p90 = times[min(len(times) - 1 - len(times) // 10, len(times) - 1)]
+    rec["qwen3_prefill512_ms_p10_p90"] = [round(p10 * 1e3, 2), round(p90 * 1e3, 2)]
+    rec["qwen3_prefill512_p90_over_median"] = round(p90 / prefill_s, 3)
     # MFU denominator includes attention FLOPs (causal: S^2/2 per head
     # for each of QK^T and PV, 2 FLOPs per MAC -> 2*L*Hq*S^2*D total)
     attn_flops = 2 * cfg.num_hidden_layers * cfg.num_attention_heads * S * S * cfg.head_dim

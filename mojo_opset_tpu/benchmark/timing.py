@@ -185,13 +185,18 @@ def profiled_time_us(
     import shutil
     import tempfile
 
-    out = fn(*args)
+    # one jitted executable: an eager op call dispatches dozens of tiny
+    # per-primitive executables whose spans are unattributable (measured:
+    # the store op eager trace is all PjitFunction(less/add/...) host
+    # spans); jitted, the trace shows the real fused kernel spans
+    jfn = jax.jit(fn)
+    out = jfn(*args)
     device_sync(out)
     tmp = tempfile.mkdtemp(prefix="mojo_prof_")
     try:
         with jax.profiler.trace(tmp):
             for _ in range(iters):
-                device_sync(fn(*args))
+                device_sync(jfn(*args))
         traces = glob.glob(tmp + "/**/*.trace.json.gz", recursive=True)
         if not traces:
             return -1.0

@@ -3,7 +3,9 @@
 import numpy as np
 import jax.numpy as jnp
 
-from mojo_opset_tpu.benchmark.api import mojo_perf, perf_case, tensor, PerfWorkload, literal
+from mojo_opset_tpu.benchmark.api import (
+    mojo_perf, perf_case, tensor, PerfWorkload, literal, profile,
+)
 import mojo_opset_tpu as m
 
 
@@ -28,7 +30,15 @@ PAGED_DECODE_CASES = [
 ]
 
 
-@mojo_perf("PagedDecodeGQA", m.MojoPagedDecodeGQA, PAGED_DECODE_CASES)
+@mojo_perf(
+    "PagedDecodeGQA", m.MojoPagedDecodeGQA, PAGED_DECODE_CASES,
+    # kernel-span attribution (reference xpu_adapter.py:339-373): time only
+    # the Mosaic decode kernel's device spans. reduction="sum" — the
+    # tunneled device leaves ~30ms host RTT gaps between iterations, which
+    # span-of-spans would count. Providers whose trace has no matching
+    # span (ref/xla) fall back to chain timing automatically.
+    profiling=profile(kernels=("paged_decode_gqa*",), reduction="sum"),
+)
 def paged_decode_workload(case):
     p = case.params
     B, Hq, Hkv, D, bs, NB = p["B"], p["Hq"], p["Hkv"], p["D"], p["bs"], p["NB"]
@@ -52,7 +62,10 @@ PAGED_PREFILL_CASES = [
 ]
 
 
-@mojo_perf("PagedPrefillGQA", m.MojoPagedPrefillGQA, PAGED_PREFILL_CASES)
+@mojo_perf(
+    "PagedPrefillGQA", m.MojoPagedPrefillGQA, PAGED_PREFILL_CASES,
+    profiling=profile(kernels=("*prefill*",), reduction="sum"),
+)
 def paged_prefill_workload(case):
     p = case.params
     T, B, Hq, Hkv, D, bs = p["T"], p["B"], p["Hq"], p["Hkv"], p["D"], p["bs"]

@@ -7,7 +7,9 @@ TTXStorePagedKVCache rows (decode stores at b in {1,4,16}, 3.1-95 us).
 import numpy as np
 import jax.numpy as jnp
 
-from mojo_opset_tpu.benchmark.api import mojo_perf, perf_case, tensor, PerfWorkload, literal
+from mojo_opset_tpu.benchmark.api import (
+    mojo_perf, perf_case, tensor, PerfWorkload, literal, profile,
+)
 import mojo_opset_tpu as m
 from mojo_opset_tpu.experimental.operators.kv_cache import (
     MojoDequantFromPagedKVCache,
@@ -28,7 +30,16 @@ STORE_KV_CASES = [
 ]
 
 
-@mojo_perf("StorePagedKVCache", m.MojoStorePagedKVCache, STORE_KV_CASES)
+@mojo_perf(
+    "StorePagedKVCache", m.MojoStorePagedKVCache, STORE_KV_CASES,
+    # the store is XLA-tier (scatter / block-merge fusions, r5): attribute
+    # time to the scatter/fusion/copy device spans; sum — not span — so the
+    # tunnel's inter-iteration host RTT never counts (see attention.py)
+    profiling=profile(
+        kernels=("*scatter*", "*fusion*", "*dynamic-update-slice*", "*copy*"),
+        reduction="sum",
+    ),
+)
 def store_kv_workload(case):
     p = case.params
     T, Hkv, D, bs, NB = p["T"], p["Hkv"], p["D"], p["bs"], p["NB"]
