@@ -16,6 +16,14 @@ from mojo_opset_tpu.utils.platform import pallas_interpret_mode
 
 
 class PallasSiluFunction(MojoSiluFunction):
+    # Not the default tier: on-chip (r5, tools/bench_training_functions.py)
+    # XLA's fused autodiff of the golden runs the fwd+bwd chain in a single
+    # fused elementwise pass (363 µs at T=32768 D=4096 bf16) while this
+    # kernel pair pays separate fwd/bwd HBM passes (4046 µs, 0.09x).
+    # Elementwise fusion is XLA's home turf; the pair stays reachable via
+    # MOJO_BACKEND=pallas for parity testing.
+    dispatch_default = False
+
     def forward(self, x: jax.Array) -> jax.Array:
         if (
             x.ndim < 2

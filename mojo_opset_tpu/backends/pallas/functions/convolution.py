@@ -21,6 +21,12 @@ from mojo_opset_tpu.utils.platform import pallas_interpret_mode
 
 
 class PallasCausalConv1dFunction(MojoCausalConv1dFunction):
+    # Not the default tier: on-chip (r5) XLA autodiff-of-golden measures
+    # 4600 µs vs 8763 µs for this pair at B=8 T=8192 D=2048 W=4 (0.53x) —
+    # the W-tap shifted-window conv fuses cleanly under XLA.
+    # Reachable via MOJO_BACKEND=pallas.
+    dispatch_default = False
+
     def forward(
         self,
         x: jax.Array,

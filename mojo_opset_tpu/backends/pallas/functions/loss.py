@@ -47,6 +47,16 @@ def _run(self, input_tensor, weight, target):
 
 
 class PallasFusedLinearCrossEntropyFunction(MojoFusedLinearCrossEntropyFunction):
+    # Not the default tier for SPEED: on-chip (r5) the kernel runs the MXU
+    # at ~86% but recomputes logits in both backward kernels (5/3x the
+    # matmul FLOPs), so XLA autodiff-of-golden is 1.6x faster at
+    # N=4096 H=2560 V=151936 (58 ms vs 93 ms) — at the cost of
+    # materializing the (N, V) logits (1.25 GB bf16 at this shape) plus
+    # autodiff residuals in HBM.  Select MOJO_BACKEND=pallas when N*V is
+    # memory-bound (long-sequence training shards) — this pair's HBM
+    # footprint is O(N*H + V*H), independent of N*V.
+    dispatch_default = False
+
     def forward(
         self,
         input_tensor: jax.Array,
@@ -61,6 +71,8 @@ class PallasFusedLinearCrossEntropyFunction(MojoFusedLinearCrossEntropyFunction)
 
 
 class PallasFusedLinearCrossEntropyLoss(MojoFusedLinearCrossEntropyLoss):
+    dispatch_default = False  # see PallasFusedLinearCrossEntropyFunction
+
     def forward(self, lin_weight, input_tensor, target, bias=None, ce_weight=None):
         if not _kernel_supported(self, input_tensor, bias, ce_weight):
             return super().forward(lin_weight, input_tensor, target, bias, ce_weight)

@@ -16,6 +16,12 @@ from mojo_opset_tpu.utils.platform import pallas_interpret_mode
 
 
 class PallasRMSNormFunction(MojoRMSNormFunction):
+    # Not the default tier: on-chip (r5) XLA autodiff-of-golden measures
+    # 357 µs vs 870 µs for this pair at T=16384 D=2560 bf16 (0.41x) — XLA
+    # fuses the norm fwd+bwd into two streaming passes natively.
+    # Reachable via MOJO_BACKEND=pallas.
+    dispatch_default = False
+
     def forward(self, x: jax.Array, weight: jax.Array) -> jax.Array:
         D = x.shape[-1]
         # lane-aligned rows only; anything else runs the golden

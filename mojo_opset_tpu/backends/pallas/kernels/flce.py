@@ -58,6 +58,7 @@ def _col_mask(j, bv, v_actual, bn):
 def _stats_kernel(x_ref, w_ref, t_ref, lse_ref, tl_ref, zs_ref,
                   m_sc, s_sc, tl_sc, zs_sc, *,
                   v_actual: int, softcap):
+    i = pl.program_id(0)
     j = pl.program_id(1)
     bn, bv = x_ref.shape[0], w_ref.shape[0]
 
@@ -83,7 +84,7 @@ def _stats_kernel(x_ref, w_ref, t_ref, lse_ref, tl_ref, zs_ref,
     m_sc[...] = jnp.broadcast_to(m_new, m_sc.shape)
     s_sc[...] = jnp.broadcast_to(s_new, s_sc.shape)
 
-    t = t_ref[...].astype(jnp.int32)
+    t = t_ref[i, :].astype(jnp.int32)
     hit = cols == t[:, None]
     tl_sc[...] += jnp.broadcast_to(
         jnp.sum(jnp.where(hit, z, 0.0), axis=1, keepdims=True), tl_sc.shape)
@@ -92,9 +93,9 @@ def _stats_kernel(x_ref, w_ref, t_ref, lse_ref, tl_ref, zs_ref,
 
     @pl.when(j == pl.num_programs(1) - 1)
     def _():
-        lse_ref[...] = m_sc[:, 0] + jnp.log(s_sc[:, 0])
-        tl_ref[...] = tl_sc[:, 0]
-        zs_ref[...] = zs_sc[:, 0]
+        lse_ref[i, :] = m_sc[:, 0] + jnp.log(s_sc[:, 0])
+        tl_ref[i, :] = tl_sc[:, 0]
+        zs_ref[i, :] = zs_sc[:, 0]
 
 
 @mosaic_f16_compat
@@ -104,6 +105,11 @@ def flce_stats(x, w, target, softcap=None, bn: int = 256, bv: int = 512,
 
     x (N, H), w (V, H), target (N,) int32.  N must be a multiple of bn and
     V of bv (callers pad; padded vocab columns are masked inside).
+
+    Per-token vectors travel as 2-D (N//bn, bn): XLA's 1-D layout for
+    s32/f32[N] is tiled T(1024), which a (bn,) Mosaic block cannot match
+    (toolchain change caught on-chip, r5); a (1, bn) block of a 2-D
+    operand uses the standard (8, 128) tiling and always aligns.
     """
     N, H = x.shape
     V = w.shape[0]
@@ -117,17 +123,19 @@ def flce_stats(x, w, target, softcap=None, bn: int = 256, bv: int = 512,
         in_specs=[
             pl.BlockSpec((bn, H), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bv, H), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn,), lambda i, j: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N // bn, bn), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((bn,), lambda i, j: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn,), lambda i, j: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn,), lambda i, j: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N // bn, bn), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N // bn, bn), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N // bn, bn), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_shape=[jax.ShapeDtypeStruct((N,), jnp.float32)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((N // bn, bn), jnp.float32)] * 3,
         scratch_shapes=[pltpu.VMEM((bn, 128), jnp.float32)] * 4,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            # token dim is arbitrary: all steps share the full-array
+            # per-token vector blocks (each writes its own row)
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * N * H * (V + v_pad),
@@ -135,8 +143,8 @@ def flce_stats(x, w, target, softcap=None, bn: int = 256, bv: int = 512,
             transcendentals=N * (V + v_pad),
         ),
         interpret=interpret,
-    )(x, w, target.astype(jnp.int32))
-    return out
+    )(x, w, target.astype(jnp.int32).reshape(N // bn, bn))
+    return [o.reshape(N) for o in out]
 
 
 # -- backward: shared dz block ------------------------------------------
@@ -162,14 +170,15 @@ def _dz_block(x_blk, w_blk, t, lse, a, c, j, *, v_actual, softcap,
 
 def _dx_kernel(x_ref, w_ref, t_ref, lse_ref, a_ref, c_ref, dx_ref, acc_sc, *,
                v_actual, softcap, label_smoothing):
+    i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         acc_sc[...] = jnp.zeros_like(acc_sc)
 
-    dz = _dz_block(x_ref[...], w_ref[...], t_ref[...].astype(jnp.int32),
-                   lse_ref[...], a_ref[...], c_ref[...], j,
+    dz = _dz_block(x_ref[...], w_ref[...], t_ref[i, :].astype(jnp.int32),
+                   lse_ref[i, :], a_ref[i, :], c_ref[i, :], j,
                    v_actual=v_actual, softcap=softcap,
                    label_smoothing=label_smoothing)
     acc_sc[...] += jnp.dot(dz, w_ref[...].astype(jnp.float32),
@@ -188,8 +197,9 @@ def _dw_kernel(x_ref, w_ref, t_ref, lse_ref, a_ref, c_ref, dw_ref, acc_sc, *,
     def _():
         acc_sc[...] = jnp.zeros_like(acc_sc)
 
-    dz = _dz_block(x_ref[...], w_ref[...], t_ref[...].astype(jnp.int32),
-                   lse_ref[...], a_ref[...], c_ref[...],
+    ti = pl.program_id(1)
+    dz = _dz_block(x_ref[...], w_ref[...], t_ref[ti, :].astype(jnp.int32),
+                   lse_ref[ti, :], a_ref[ti, :], c_ref[ti, :],
                    pl.program_id(0),
                    v_actual=v_actual, softcap=softcap,
                    label_smoothing=label_smoothing)
@@ -211,10 +221,21 @@ def flce_backward(x, w, target, lse, a, c, softcap=None,
     coefficients (see module docstring); both (N,) float32."""
     N, H = x.shape
     V = w.shape[0]
+    # dw's VMEM bill is dominated by the (bv, H) f32 accumulator plus the
+    # double-buffered (bv, H) weight/output blocks; at H=2560 a bv of 512
+    # overflows the 16M scoped limit by ~1M (measured on-chip, r5
+    # toolchain).  Halve bv once H crosses the budget line.
+    if H * bv * (4 + 2 * 2 * w.dtype.itemsize) > 12 * 2**20:
+        bv = max(bv // 2, 128)
     v_pad = (-V) % bv
     w_p = jnp.pad(w, ((0, v_pad), (0, 0))) if v_pad else w
     vb = (V + v_pad) // bv
-    t = target.astype(jnp.int32)
+    # 2-D (N//bn, bn) per-token vectors: see flce_stats on the 1-D layout
+    nb = N // bn
+    t = target.astype(jnp.int32).reshape(nb, bn)
+    lse2 = lse.reshape(nb, bn)
+    a2 = a.reshape(nb, bn)
+    c2 = c.reshape(nb, bn)
     common = dict(v_actual=V, softcap=softcap, label_smoothing=label_smoothing)
 
     dx = pl.pallas_call(
@@ -223,10 +244,10 @@ def flce_backward(x, w, target, lse, a, c, softcap=None,
         in_specs=[
             pl.BlockSpec((bn, H), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bv, H), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn,), lambda i, j: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn,), lambda i, j: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn,), lambda i, j: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn,), lambda i, j: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, bn), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, bn), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, bn), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, bn), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bn, H), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, H), x.dtype),
@@ -240,7 +261,7 @@ def flce_backward(x, w, target, lse, a, c, softcap=None,
             transcendentals=N * (V + v_pad),
         ),
         interpret=interpret,
-    )(x, w_p, t, lse, a, c)
+    )(x, w_p, t, lse2, a2, c2)
 
     dw_p = pl.pallas_call(
         functools.partial(_dw_kernel, **common),
@@ -248,10 +269,10 @@ def flce_backward(x, w, target, lse, a, c, softcap=None,
         in_specs=[
             pl.BlockSpec((bn, H), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bv, H), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn,), lambda j, i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn,), lambda j, i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn,), lambda j, i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn,), lambda j, i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, bn), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, bn), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, bn), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, bn), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bv, H), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((V + v_pad, H), w.dtype),
@@ -265,7 +286,7 @@ def flce_backward(x, w, target, lse, a, c, softcap=None,
             transcendentals=N * (V + v_pad),
         ),
         interpret=interpret,
-    )(x, w_p, t, lse, a, c)
+    )(x, w_p, t, lse2, a2, c2)
     return dx, (dw_p[:V] if v_pad else dw_p)
 
 

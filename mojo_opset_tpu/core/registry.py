@@ -89,8 +89,16 @@ class MojoBackendRegistry:
             # resolve priority at CALL time: the platform can change after
             # import (e.g. a TPU process re-pointing at a virtual CPU mesh)
             priority = get_backend_priority()
+            # an impl may opt out of default dispatch (dispatch_default =
+            # False) while staying reachable by explicit tier name — used
+            # by training-function kernels that measured SLOWER than XLA
+            # autodiff on chip (r5; see docs/kernels.md "Training tier")
+            candidates = {
+                t: c for t, c in self._registry.items()
+                if getattr(c, "dispatch_default", True)
+            } or self._registry
             fallback = min(
-                self._registry.items(),
+                candidates.items(),
                 key=lambda it: priority.index(it[0]) if it[0] in priority else len(priority),
             )[1]
             if backend_name is not None:
