@@ -77,25 +77,27 @@ class PerfDiTRunner:
     def run(self, sizes: Iterable[Tuple[int, int, int]] | None = None,
             steps: int = 4) -> List[dict]:
         records: List[dict] = []
+        from mojo_opset_tpu.benchmark.timing import device_time_us
+
         for size in (sizes or self.SIZES):
             x, ctx, seq_len = self._case_inputs(size)
             dt = jnp.float32(-1.0 / max(steps, 1))
 
-            def denoise_step(model, x, t):
+            def denoise_step(x, model, t):
                 velocity = model([x], t, [ctx], seq_len=seq_len)[0]
                 return x + velocity.astype(x.dtype) * dt
 
-            step_fn = jax.jit(denoise_step, donate_argnums=(1,))
+            # DEVICE time via the same elision-proof chained timer as every
+            # other published number (timing.py; the chain feeds x back so
+            # consecutive denoise steps are data-dependent, like a real
+            # sampler loop).  The old wall-clock-over-dispatched-calls
+            # protocol double-counted the tunnel's per-call host overhead
+            # (~30 ms of ParseArguments on the ~1000-leaf param pytree per
+            # dispatch) which pipelined serving never pays.
             t = jnp.ones((1,), jnp.float32) * 999.0
-            x = device_sync(step_fn(self.model, x, t))  # compile + settle
-            x = device_sync(step_fn(self.model, x, t))
-            t0 = time.perf_counter()
-            for _ in range(steps):
-                x = step_fn(self.model, x, t)
-            device_sync(x)
-            elapsed = time.perf_counter() - t0
+            us = device_time_us(denoise_step, x, self.model, t, iters=max(steps, 2))
 
-            ms = elapsed / steps * 1e3
+            ms = us / 1e3
             flops = dit_step_flops(self.model.cfg, seq_len, self.text_tokens)
             records.append({
                 "latent": tuple(size),
